@@ -1,0 +1,79 @@
+"""Vision Transformer backbone (Flax) — timm ``vit_*_patch16_224`` topology.
+
+Used by the LiwTERM baseline (liwtermModel.py:25-36, ``vit_large_patch16_224``)
+and as a generic transformer encoder in the backbone registry. Patch embed is
+a strided conv (one big MXU matmul per image); attention runs in bf16 with
+fp32 softmax via skinjax.ops.MultiHeadAttention. Returns the CLS token
+(B, D) by default, or the full token sequence with ``tokens=True`` (the
+reference's seq-aware fusion variants, multimodalGated.py:131-176).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from skinjax.ops.attention import MultiHeadAttention
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = MultiHeadAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
+            y, y, y, deterministic=deterministic
+        )
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_in")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    patch: int = 16
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, tokens: bool = False):
+        B = x.shape[0]
+        x = nn.Conv(
+            self.dim,
+            (self.patch, self.patch),
+            strides=(self.patch, self.patch),
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(B, -1, self.dim)  # (B, T, D)
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, self.dim)
+        ).astype(x.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
+        ).astype(x.dtype)
+        x = x + pos
+        for i in range(self.depth):
+            x = ViTBlock(
+                self.dim, self.num_heads, dtype=self.dtype, name=f"block{i}"
+            )(x, deterministic=not train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return x if tokens else x[:, 0]
+
+
+vit_tiny = partial(ViT, dim=192, depth=12, num_heads=3)
+vit_small = partial(ViT, dim=384, depth=12, num_heads=6)
+vit_base = partial(ViT, dim=768, depth=12, num_heads=12)
+vit_large = partial(ViT, dim=1024, depth=24, num_heads=16)
