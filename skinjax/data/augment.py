@@ -1,0 +1,203 @@
+"""On-device image augmentation (jitted JAX, vmapped per-sample).
+
+TPU-first replacement for the reference's CPU/OpenCV albumentations pipeline
+(skinLesionDatasets.py:60-120): the same augmentation *distribution* —
+  Rotate(±45°, reflect, p=.5) → HFlip(.5) → VFlip(.2) → GaussianBlur(σ≤2, .25)
+  → CoarseDropout(5×8×8, .15) → HueSaturationValue(10/15/10, .25)
+  → RandomBrightnessContrast(±0.2, .25) → Normalize(ImageNet)
+— but executed on the accelerator as one fused jit region: the host only
+decodes + resizes uint8 images; everything stochastic runs on-device from a
+`jax.random` key (deterministic per (seed, epoch, sample), shardable — each
+device augments its own batch shard with its own fold of the key).
+
+Everything is static-shaped and branch-free (probability gates are arithmetic
+selects), so one compilation serves the whole run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], dtype=jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], dtype=jnp.float32)
+
+
+def _reflect_index(i, n):
+    """Reflect-101 border (cv2.BORDER_REFLECT_101 used by A.Rotate)."""
+    period = 2 * n - 2
+    i = jnp.abs(i) % period
+    return (n - 1) - jnp.abs(i - (n - 1))
+
+
+def _bilinear_sample(img, ys, xs):
+    """img: (H, W, C); ys/xs: (H, W) float source coords; reflect border."""
+    H, W = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0r, y1r = _reflect_index(y0, H), _reflect_index(y0 + 1, H)
+    x0r, x1r = _reflect_index(x0, W), _reflect_index(x0 + 1, W)
+    v00 = img[y0r, x0r]
+    v01 = img[y0r, x1r]
+    v10 = img[y1r, x0r]
+    v11 = img[y1r, x1r]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def rotate(img, angle_rad):
+    """Rotate around center, bilinear, reflect border. img: (H, W, C) float."""
+    H, W = img.shape[0], img.shape[1]
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None] - cy
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :] - cx
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    # inverse mapping: dest(y,x) <- src(cos*y - sin*x, sin*y + cos*x)
+    src_y = cos * yy - sin * xx + cy
+    src_x = sin * yy + cos * xx + cx
+    src_y = jnp.broadcast_to(src_y, (H, W))
+    src_x = jnp.broadcast_to(src_x, (H, W))
+    return _bilinear_sample(img, src_y, src_x)
+
+
+def gaussian_blur(img, sigma, ksize: int = 7):
+    """Separable Gaussian blur; sigma==0 degenerates to identity."""
+    r = ksize // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    sigma = jnp.maximum(sigma, 1e-6)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+    # (H, W, C): blur H then W via correlation with reflect padding
+    pad = [(r, r), (0, 0), (0, 0)]
+    p = jnp.pad(img, pad, mode="reflect")
+    img = sum(p[i : i + img.shape[0]] * k[i] for i in range(ksize))
+    pad = [(0, 0), (r, r), (0, 0)]
+    p = jnp.pad(img, pad, mode="reflect")
+    img = sum(p[:, i : i + img.shape[1]] * k[i] for i in range(ksize))
+    return img
+
+
+def rgb_to_hsv(img):
+    return jnp.stack(_rgb_to_hsv_ch(img[..., 0], img[..., 1], img[..., 2]), axis=-1)
+
+
+def _rgb_to_hsv_ch(r, g, b):
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return h, s, v
+
+
+def hsv_to_rgb(img):
+    h, s, v = img[..., 0], img[..., 1], img[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def coarse_dropout(img, key, max_holes: int = 5, hole: int = 8):
+    """Zero out up to max_holes hole×hole squares (A.CoarseDropout parity)."""
+    H, W = img.shape[0], img.shape[1]
+    kys, kxs, kn = jax.random.split(key, 3)
+    ys = jax.random.randint(kys, (max_holes,), 0, max(H - hole, 1))
+    xs = jax.random.randint(kxs, (max_holes,), 0, max(W - hole, 1))
+    n_holes = jax.random.randint(kn, (), 1, max_holes + 1)
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    mask = jnp.ones((H, W), dtype=img.dtype)
+    for i in range(max_holes):
+        inside = (
+            (yy >= ys[i]) & (yy < ys[i] + hole) & (xx >= xs[i]) & (xx < xs[i] + hole)
+        )
+        active = (i < n_holes).astype(img.dtype)
+        mask = mask * (1.0 - inside.astype(img.dtype) * active)
+    return img * mask[..., None]
+
+
+def _augment_one(img, key, cfg):
+    """img: (H, W, 3) float32 in [0,1]."""
+    keys = jax.random.split(key, 12)
+
+    # Rotate ±45°, p=0.5 (angle gated to 0 keeps the op branch-free; the
+    # resample at angle 0 is exact identity under bilinear interpolation)
+    angle = jax.random.uniform(keys[0], (), minval=-cfg["rotate_deg"], maxval=cfg["rotate_deg"])
+    angle = angle * (jax.random.uniform(keys[1]) < cfg["p_rotate"])
+    img = rotate(img, angle * jnp.pi / 180.0)
+
+    # Flips
+    img = jnp.where(jax.random.uniform(keys[2]) < cfg["p_hflip"], img[:, ::-1], img)
+    img = jnp.where(jax.random.uniform(keys[3]) < cfg["p_vflip"], img[::-1], img)
+
+    # Gaussian blur, sigma ~ U(0, 2), p=0.25 (sigma gated to ~0 == identity)
+    sigma = jax.random.uniform(keys[4], (), minval=0.0, maxval=cfg["blur_sigma"])
+    sigma = sigma * (jax.random.uniform(keys[5]) < cfg["p_blur"])
+    img = gaussian_blur(img, sigma)
+
+    # Coarse dropout, p=0.15
+    dropped = coarse_dropout(img, keys[6])
+    img = jnp.where(jax.random.uniform(keys[7]) < cfg["p_dropout"], dropped, img)
+
+    # HSV jitter (hue ±10/360ths of cv2's 0..180 scale => ±10/180 turns? cv2
+    # hue is 0..179 so shift 10 == 10/180 of a full turn), p=0.25
+    do_hsv = jax.random.uniform(keys[8]) < cfg["p_hsv"]
+    sh = jax.random.uniform(keys[9], (3,), minval=-1.0, maxval=1.0)
+    hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    h = (hsv[..., 0] + sh[0] * (10.0 / 180.0) * do_hsv) % 1.0
+    s = jnp.clip(hsv[..., 1] + sh[1] * (15.0 / 255.0) * do_hsv, 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] + sh[2] * (10.0 / 255.0) * do_hsv, 0.0, 1.0)
+    img = hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+
+    # Brightness/contrast ±0.2, p=0.25
+    do_bc = jax.random.uniform(keys[10]) < cfg["p_bc"]
+    ab = jax.random.uniform(keys[11], (2,), minval=-0.2, maxval=0.2)
+    alpha = 1.0 + ab[0] * do_bc
+    beta = ab[1] * do_bc
+    img = jnp.clip(img * alpha + beta, 0.0, 1.0)
+    return img
+
+
+DEFAULT_CFG = dict(
+    rotate_deg=45.0, p_rotate=0.5, p_hflip=0.5, p_vflip=0.2,
+    blur_sigma=2.0, p_blur=0.25, p_dropout=0.15, p_hsv=0.25, p_bc=0.25,
+)
+
+
+@partial(jax.jit, static_argnames=("train", "out_dtype"))
+def augment_batch(images_u8, key, train: bool = True, out_dtype=jnp.float32):
+    """uint8 (B, H, W, 3) → normalized (B, H, W, 3) in out_dtype.
+
+    Train: full stochastic pipeline; eval: normalize only
+    (skinLesionDatasets.py:113-119).
+    """
+    img = images_u8.astype(jnp.float32) / 255.0
+    if train:
+        keys = jax.random.split(key, img.shape[0])
+        img = jax.vmap(lambda im, k: _augment_one(im, k, DEFAULT_CFG))(img, keys)
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
+    return img.astype(out_dtype)

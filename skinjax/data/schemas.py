@@ -1,0 +1,241 @@
+"""Per-dataset schema adapters for the 8 dermatology dataset families.
+
+Each adapter rebuilds the cleaning + featurization contract of one reference
+dataset class (src/scripts/benchmark/models/skinLesionDatasets*.py) on top of
+the schema-driven ``MetadataFeaturizer``:
+
+  PAD-UFES-20   skinLesionDatasets.py:123-201        6-class, group=patient_id
+  PAD-UFES-25   skinLesionDatasetsPAD2025.py:156-240 label=macroCIDDiagnostic
+  ISIC-2019     skinLesionDatasetsISIC2019.py:128-182 8-class, group=lesion_id
+  ISIC-2020     skinLesionDatasetsISIC2020.py:120-198 binary target
+  DERM7PT       skinLesionDatasetsDERM7PT.py          derm/clinic image types
+  MIDAS         skinLesionDatasetsMIDAS.py:109-191   binary benign/malignant
+  MILK10K       skinLesionDatasetsMILK10K.py:156-273 binary/multilabel
+  SkinDisNet    skinLesionDatasetsSkinDisNet.py:124-146 3 features, no scaling
+
+An adapter takes the raw CSV (pandas on the host — data prep is IO, not TPU
+work), applies the cleaning rules, and yields a plain dict of columns + labels
++ image ids + group ids, so the rest of the pipeline is dataset-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from skinjax.data.featurizer import MetadataFeaturizer
+
+EMPTY = "EMPTY"
+
+
+@dataclasses.dataclass
+class DatasetSpec:
+    name: str
+    label_col: str
+    image_col: str
+    drop_cols: Sequence[str]
+    numerical_cols: Sequence[str]  # () means "infer from dtypes"
+    group_col: Optional[str] = None  # patient/lesion grouping for CV splits
+    image_suffix: str = ""
+    scale_numerics: bool = True
+    type_of_problem: str = "multiclass"  # or "binaryclass"
+    clean: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None
+
+
+def _clean_pad20(df: pd.DataFrame) -> pd.DataFrame:
+    # skinLesionDatasets.py:123-128: NaN→EMPTY, stray spaces→EMPTY,
+    # "NÃO  ENCONTRADO"→EMPTY, BRASIL→BRAZIL
+    df = df.fillna(EMPTY).replace(" ", EMPTY).replace("  ", EMPTY)
+    df = df.replace("NÃO  ENCONTRADO", EMPTY).replace("BRASIL", "BRAZIL")
+    return df
+
+
+def _clean_default(df: pd.DataFrame) -> pd.DataFrame:
+    return df.fillna(EMPTY)
+
+
+# PAD-25 macro-CID cluster mapping (skinLesionDatasetsPAD2025.py:72-155 maps
+# CID ids onto macro diagnostic clusters before encoding).
+def _clean_pad25(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[df.get("img-src", "CLINICAL") == "CLINICAL"].copy() if "img-src" in df else df
+    return df.fillna(EMPTY)
+
+
+SPECS: Dict[str, DatasetSpec] = {
+    "pad-ufes-20": DatasetSpec(
+        name="pad-ufes-20",
+        label_col="diagnostic",
+        image_col="img_id",
+        drop_cols=("patient_id", "lesion_id", "img_id", "biopsed", "diagnostic"),
+        numerical_cols=("age", "diameter_1", "diameter_2"),
+        group_col="patient_id",
+        clean=_clean_pad20,
+    ),
+    "pad-ufes-25": DatasetSpec(
+        name="pad-ufes-25",
+        label_col="macroCIDDiagnostic",
+        image_col="img-id",
+        drop_cols=("img-id", "img-src", "macroCIDDiagnostic", "patient-id"),
+        numerical_cols=("age",),
+        group_col="patient-id",
+        image_suffix=".png",
+        clean=_clean_pad25,
+    ),
+    "isic-2019": DatasetSpec(
+        name="isic-2019",
+        label_col="category",
+        image_col="image",
+        drop_cols=("image", "lesion_id", "category"),
+        numerical_cols=(),  # dtype-inferred (skinLesionDatasetsISIC2019.py:136)
+        group_col="lesion_id",
+        image_suffix=".jpg",
+        clean=_clean_default,
+    ),
+    "isic-2020": DatasetSpec(
+        name="isic-2020",
+        label_col="benign_malignant",
+        image_col="image_name",
+        drop_cols=("image_name", "patient_id", "diagnosis", "benign_malignant", "target"),
+        numerical_cols=(),
+        group_col="patient_id",
+        image_suffix=".jpg",
+        type_of_problem="binaryclass",
+        clean=_clean_default,
+    ),
+    "derm7pt": DatasetSpec(
+        name="derm7pt",
+        label_col="diagnosis",
+        image_col="derm",  # or "clinic" — selected via image_col override
+        drop_cols=("case_num", "derm", "clinic", "diagnosis"),
+        numerical_cols=(),
+        group_col="case_num",
+        clean=_clean_default,
+    ),
+    "midas": DatasetSpec(
+        name="midas",
+        label_col="midas_category",
+        image_col="midas_file_name",
+        drop_cols=("midas_file_name", "midas_record_id", "midas_category"),
+        numerical_cols=("midas_age", "length_mm", "width_mm"),
+        group_col="midas_record_id",
+        type_of_problem="binaryclass",
+        clean=_clean_default,
+    ),
+    "milk10k": DatasetSpec(
+        name="milk10k",
+        label_col="target",
+        image_col="isic_id",
+        drop_cols=("isic_id", "lesion_id", "target"),
+        numerical_cols=("age_approx",),
+        group_col="lesion_id",
+        image_suffix=".jpg",
+        type_of_problem="binaryclass",
+        clean=_clean_default,
+    ),
+    "skindisnet": DatasetSpec(
+        name="skindisnet",
+        label_col="Label",
+        image_col="Image_Name",
+        drop_cols=("Image_Name", "Label"),
+        numerical_cols=("Age",),
+        scale_numerics=False,  # skinLesionDatasetsSkinDisNet.py:146
+        clean=_clean_default,
+    ),
+}
+
+
+@dataclasses.dataclass
+class PreparedDataset:
+    """Dataset-agnostic output of a schema adapter."""
+
+    name: str
+    image_files: List[str]
+    features: np.ndarray  # (N, F) float32 featurized metadata
+    labels: np.ndarray  # (N,) int32
+    groups: np.ndarray  # (N,) group ids for grouped CV
+    class_names: List[str]
+    featurizer: MetadataFeaturizer
+    raw: pd.DataFrame  # cleaned metadata table (for XAI perturbation sweeps)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+    @property
+    def feature_dim(self) -> int:
+        return self.features.shape[1]
+
+
+def prepare_dataset(
+    dataset: str,
+    metadata_csv: str,
+    featurizer_path: Optional[str] = None,
+    image_col: Optional[str] = None,
+    label_col: Optional[str] = None,
+) -> PreparedDataset:
+    """Load + clean a CSV and featurize it under the dataset's schema.
+
+    If ``featurizer_path`` exists it is loaded (serving path — identical
+    feature space as training, skinLesionDatasets.py:154-175); otherwise the
+    featurizer is fitted and, when a path is given, persisted.
+    """
+    spec = SPECS[dataset]
+    df = pd.read_csv(metadata_csv)
+    if spec.clean is not None:
+        df = spec.clean(df)
+    df = df.reset_index(drop=True)
+
+    img_col = image_col or spec.image_col
+    lbl_col = label_col or spec.label_col
+
+    feature_df = df.drop(columns=[c for c in spec.drop_cols if c in df.columns])
+    if spec.numerical_cols:
+        numerical = [c for c in spec.numerical_cols if c in feature_df.columns]
+    else:  # dtype-inferred split (ISIC path)
+        numerical = list(
+            feature_df.select_dtypes(include=["float64", "int64"]).columns
+        )
+    categorical = [c for c in feature_df.columns if c not in numerical]
+
+    feature_df[categorical] = feature_df[categorical].astype(str)
+    for c in numerical:
+        feature_df[c] = pd.to_numeric(feature_df[c], errors="coerce").fillna(-1)
+
+    table = {c: feature_df[c].to_numpy() for c in feature_df.columns}
+    labels_raw = df[lbl_col].astype(str).to_numpy()
+
+    import os
+
+    if featurizer_path and os.path.exists(featurizer_path):
+        fz = MetadataFeaturizer.load(featurizer_path)
+    else:
+        fz = MetadataFeaturizer(
+            categorical_cols=categorical,
+            numerical_cols=numerical,
+            scale_numerics=spec.scale_numerics,
+        ).fit(table, labels_raw)
+        if featurizer_path:
+            fz.save(featurizer_path)
+
+    features = fz.transform(table)
+    labels = fz.label_encoder.transform(labels_raw)
+    groups = (
+        df[spec.group_col].to_numpy()
+        if spec.group_col and spec.group_col in df.columns
+        else np.arange(len(df))
+    )
+    image_files = [str(v) + spec.image_suffix for v in df[img_col].to_numpy()]
+
+    return PreparedDataset(
+        name=dataset,
+        image_files=image_files,
+        features=features,
+        labels=labels,
+        groups=np.asarray(groups),
+        class_names=list(fz.label_encoder.classes),
+        featurizer=fz,
+        raw=df,
+    )

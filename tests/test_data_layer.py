@@ -1,0 +1,186 @@
+"""Data layer tests: featurizer parity vs sklearn, splits, sampling, augment."""
+
+import numpy as np
+import pytest
+
+from skinjax.data import (
+    MetadataFeaturizer,
+    compute_class_weights,
+    epoch_batches,
+    prepare_dataset,
+    stratified_group_kfold,
+    stratified_kfold,
+    synthetic_source,
+    weighted_sample_indices,
+)
+
+
+def _toy_table(n=50, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "region": rng.choice(["ARM", "FACE", "NECK", "EMPTY"], size=n),
+        "itch": rng.choice(["True", "False", "EMPTY"], size=n),
+        "age": rng.integers(10, 90, size=n).astype(np.float64),
+        "diameter_1": rng.uniform(1, 20, size=n),
+    }
+
+
+def test_featurizer_matches_sklearn():
+    from sklearn.preprocessing import OneHotEncoder as SkOHE
+    from sklearn.preprocessing import StandardScaler as SkScaler
+
+    table = _toy_table()
+    cats = ["region", "itch"]
+    nums = ["age", "diameter_1"]
+    labels = np.random.default_rng(1).choice(["ACK", "BCC", "MEL"], size=50)
+
+    fz = MetadataFeaturizer(categorical_cols=cats, numerical_cols=nums)
+    fz.fit(table, labels)
+    ours = fz.transform(table)
+
+    cat_mat = np.stack([table[c].astype(str) for c in cats], axis=1)
+    sk_ohe = SkOHE(sparse_output=False, handle_unknown="ignore").fit(cat_mat)
+    num_mat = np.stack([table[c] for c in nums], axis=1)
+    sk_sc = SkScaler().fit(num_mat)
+    ref = np.hstack([sk_ohe.transform(cat_mat), sk_sc.transform(num_mat)])
+    np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-6)
+
+    # unknown categories -> all-zero block (handle_unknown='ignore')
+    t2 = dict(table)
+    t2["region"] = np.array(["MARS"] * 50)
+    out2 = fz.transform(t2)
+    assert out2[:, :4].sum() == 0
+
+
+def test_featurizer_roundtrip(tmp_path):
+    table = _toy_table()
+    labels = ["A", "B"] * 25
+    fz = MetadataFeaturizer(
+        categorical_cols=["region", "itch"], numerical_cols=["age", "diameter_1"]
+    ).fit(table, labels)
+    p = str(tmp_path / "fz.json")
+    fz.save(p)
+    fz2 = MetadataFeaturizer.load(p)
+    np.testing.assert_allclose(fz.transform(table), fz2.transform(table))
+    assert fz2.label_encoder.classes == ["A", "B"]
+
+
+def test_label_encoder_matches_sklearn():
+    from sklearn.preprocessing import LabelEncoder as SkLE
+
+    labels = ["NEV", "ACK", "MEL", "ACK", "SEK", "BCC", "SCC", "NEV"]
+    fz = MetadataFeaturizer(categorical_cols=[], numerical_cols=[])
+    fz.label_encoder.fit(labels)
+    sk = SkLE().fit(labels)
+    assert fz.label_encoder.classes == list(sk.classes_)
+    np.testing.assert_array_equal(fz.label_encoder.transform(labels), sk.transform(labels))
+
+
+def test_stratified_kfold_properties():
+    labels = np.repeat(np.arange(4), 25)
+    seen_val = []
+    for train, val in stratified_kfold(labels, n_splits=5, seed=42):
+        assert len(np.intersect1d(train, val)) == 0
+        # each class present in every fold's val with ~n/5 items
+        counts = np.bincount(labels[val], minlength=4)
+        assert (counts == 5).all()
+        seen_val.append(val)
+    assert len(np.unique(np.concatenate(seen_val))) == 100
+
+
+def test_stratified_group_kfold_group_atomicity():
+    rng = np.random.default_rng(0)
+    groups = rng.integers(0, 30, size=200)
+    labels = rng.integers(0, 3, size=200)
+    for train, val in stratified_group_kfold(labels, groups, n_splits=5, seed=42):
+        assert set(groups[train]).isdisjoint(set(groups[val]))
+    # determinism
+    a = list(stratified_group_kfold(labels, groups, n_splits=5, seed=42))
+    b = list(stratified_group_kfold(labels, groups, n_splits=5, seed=42))
+    for (t1, v1), (t2, v2) in zip(a, b):
+        np.testing.assert_array_equal(v1, v2)
+
+
+def test_class_weights_formula():
+    labels = np.array([0] * 60 + [1] * 30 + [2] * 10)
+    w = compute_class_weights(labels, 4)
+    np.testing.assert_allclose(w[:3], [100 / (4 * 60), 100 / (4 * 30), 100 / (4 * 10)])
+    assert w[3] == 0.0
+
+
+def test_weighted_sampler_balances_classes():
+    labels = np.array([0] * 900 + [1] * 100)
+    idx = weighted_sample_indices(labels, 2, 10000, seed=7)
+    frac1 = (labels[idx] == 1).mean()
+    assert 0.45 < frac1 < 0.55  # rebalanced toward uniform
+    # deterministic per (seed, epoch), different across epochs
+    np.testing.assert_array_equal(
+        weighted_sample_indices(labels, 2, 100, 7, epoch=3),
+        weighted_sample_indices(labels, 2, 100, 7, epoch=3),
+    )
+    assert not np.array_equal(
+        weighted_sample_indices(labels, 2, 100, 7, epoch=3),
+        weighted_sample_indices(labels, 2, 100, 7, epoch=4),
+    )
+
+
+def test_epoch_batches_shape():
+    labels = np.arange(103) % 5
+    m = epoch_batches(labels, 5, batch_size=16, seed=0, epoch=0)
+    assert m.shape == (6, 16)
+    m2 = epoch_batches(labels, 5, 16, 0, 0, drop_remainder=False)
+    assert m2.shape == (7, 16)
+
+
+def test_prepare_dataset_pad20_schema(tmp_path):
+    import pandas as pd
+
+    n = 30
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "patient_id": [f"PAT_{i % 10}" for i in range(n)],
+            "lesion_id": np.arange(n),
+            "img_id": [f"img_{i}.png" for i in range(n)],
+            "biopsed": rng.choice(["True", "False"], n),
+            "diagnostic": rng.choice(["ACK", "BCC", "MEL", "NEV", "SCC", "SEK"], n),
+            "smoke": rng.choice(["True", "False"], n),
+            "region": rng.choice(["ARM", "FACE"], n),
+            "age": rng.integers(20, 90, n),
+            "diameter_1": rng.uniform(1, 9, n),
+            "diameter_2": rng.uniform(1, 9, n),
+        }
+    )
+    csv = tmp_path / "meta.csv"
+    df.to_csv(csv, index=False)
+    fzp = str(tmp_path / "fz.json")
+    ds = prepare_dataset("pad-ufes-20", str(csv), featurizer_path=fzp)
+    # categorical: biopsed/diagnostic/patient_id... dropped; smoke+region kept
+    assert ds.features.shape[0] == n
+    assert ds.num_classes == len(set(df["diagnostic"]))
+    assert ds.feature_dim == ds.featurizer.ohe.dim + 3
+    assert len(ds.image_files) == n and ds.image_files[0] == "img_0.png"
+    # reload path gives identical features (serving parity)
+    ds2 = prepare_dataset("pad-ufes-20", str(csv), featurizer_path=fzp)
+    np.testing.assert_allclose(ds.features, ds2.features)
+
+
+def test_augment_batch_shapes_and_determinism():
+    import jax
+    import jax.numpy as jnp
+
+    from skinjax.data import augment_batch
+
+    src = synthetic_source(n=4, image_size=(32, 32))
+    key = jax.random.key(0)
+    out = augment_batch(jnp.asarray(src.images), key, train=True)
+    assert out.shape == (4, 32, 32, 3) and out.dtype == jnp.float32
+    out2 = augment_batch(jnp.asarray(src.images), key, train=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+    # eval path = plain normalize
+    ev = augment_batch(jnp.asarray(src.images), key, train=False)
+    ref = (src.images.astype(np.float32) / 255.0 - [0.485, 0.456, 0.406]) / [
+        0.229, 0.224, 0.225,
+    ]
+    np.testing.assert_allclose(np.asarray(ev), ref.astype(np.float32), atol=1e-5)
+    assert np.isfinite(np.asarray(out)).all()
