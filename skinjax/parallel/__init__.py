@@ -1,0 +1,15 @@
+from skinjax.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    param_sharding_rules,
+    replicated,
+    shard_params,
+)
+
+__all__ = [
+    "batch_sharding",
+    "create_mesh",
+    "param_sharding_rules",
+    "replicated",
+    "shard_params",
+]

@@ -1,0 +1,82 @@
+"""Device mesh construction + sharding rules (dp × tp).
+
+The reference is single-GPU (SURVEY.md §2: no DDP/NCCL anywhere); this module
+is the TPU-native scaling design that replaces it:
+
+  * a 2-D ``Mesh`` with axes ``("data", "model")`` — batches shard over
+    ``data`` (pure DP), wide Dense kernels shard over ``model`` (TP for the
+    4096-d VGG/LiwTERM heads and the fusion MLPs);
+  * parameters get ``NamedSharding`` annotations and the train step is
+    ``jit``-ed over the mesh — XLA GSPMD inserts the ``psum`` /
+    ``all_gather`` / ``reduce_scatter`` collectives so gradients ride ICI;
+  * fold-level parallelism (5 CV folds × sweep grid is embarrassingly
+    parallel) runs as independent processes/slices on top of this.
+
+No NCCL-style transport is built because on TPU the compiler IS the
+communication layer (scaling-book recipe: pick mesh → annotate → let XLA
+insert collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ("data", "model") mesh. Defaults to all devices on the data
+    axis (the right default for this model family: batch-dominant CNNs)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_model
+    if n_data * n_model != devices.size:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {devices.size} devices available"
+        )
+    return Mesh(devices.reshape(n_data, n_model), axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def param_sharding_rules(mesh: Mesh, params, min_tp_dim: int = 1024):
+    """Assign a NamedSharding to every param leaf.
+
+    Policy: replicate by default; tensor-parallel-shard 2-D kernels whose
+    output dim is both >= min_tp_dim and divisible by the model-axis size
+    (covers the 4096-wide VGG16/LiwTERM heads, ViT MLPs, and the fusion MLP
+    stack at large common_dim). Embedding/conv kernels stay replicated — they
+    are small relative to activations for 224² inputs.
+    """
+    n_model = mesh.shape["model"]
+
+    def rule(path, leaf):
+        if n_model > 1 and hasattr(leaf, "ndim") and leaf.ndim == 2:
+            out_dim = leaf.shape[1]
+            in_dim = leaf.shape[0]
+            if out_dim >= min_tp_dim and out_dim % n_model == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            if in_dim >= min_tp_dim and in_dim % n_model == 0:
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(mesh: Mesh, params, min_tp_dim: int = 1024):
+    """Device-put params according to param_sharding_rules."""
+    shardings = param_sharding_rules(mesh, params, min_tp_dim)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

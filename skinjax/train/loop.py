@@ -1,0 +1,216 @@
+"""Training loop: the reference's ``train_process`` (train_pad_20.py:35-205)
+rebuilt around jitted steps, static shapes, and device-resident best weights.
+
+Per epoch: weighted-resampled static-shape batches → fused
+augment+fwd+bwd+update step → full-val loss + metric pass → plateau LR step →
+early stopping on val_loss (patience 10, delta 0.01). Returns the best state
+(by the early-stopping metric), final metrics from a re-evaluation of the
+best state, and the loss history — the same artifacts the reference persists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skinjax.data.sampling import compute_class_weights, epoch_batches
+from skinjax.train.early_stopping import EarlyStopping
+from skinjax.train.losses import make_loss_fn
+from skinjax.train.metrics import classification_metrics
+from skinjax.train.optimizer import (
+    PlateauScheduler,
+    make_optimizer,
+    set_learning_rate,
+    trainable_mask,
+)
+from skinjax.train.steps import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_loss_eval_step,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    num_epochs: int = 100
+    batch_size: int = 32
+    learning_rate: float = 5e-5
+    weight_decay: float = 1e-4
+    loss: str = "weighted_ce"
+    focal_gamma: float = 2.0
+    early_stopping_patience: int = 10
+    early_stopping_delta: float = 0.01
+    early_stopping_metric: str = "val_loss"
+    plateau_factor: float = 0.1
+    plateau_patience: int = 2
+    unfreeze_weights: str = "unfrozen_weights"
+    weighted_sampling: bool = True
+    augment: bool = True
+    seed: int = 42
+    image_dtype: str = "bfloat16"
+    log_every: int = 0  # batches; 0 = epoch level only
+
+
+def _dtype(cfg: TrainConfig):
+    return jnp.bfloat16 if cfg.image_dtype == "bfloat16" else jnp.float32
+
+
+def evaluate(
+    eval_step: Callable,
+    state: TrainState,
+    source,
+    batch_size: int,
+    num_classes: int,
+    loss_fn: Optional[Callable] = None,
+) -> Tuple[Dict, np.ndarray, np.ndarray, np.ndarray, float]:
+    """Single full pass; static batch shapes via wrap-padding (duplicates are
+    idempotent writes into the per-sample output arrays).
+
+    Returns (metrics, labels, preds, probs, mean_loss) — the contract of
+    utils/model_metrics.evaluate_model:15-134.
+    """
+    n = len(source)
+    n_batches = -(-n // batch_size)
+    probs_out = np.zeros((n, num_classes), dtype=np.float32)
+    losses: List[float] = []
+    for b in range(n_batches):
+        idx = np.arange(b * batch_size, (b + 1) * batch_size) % n
+        batch = source.batch(idx)
+        logits = eval_step(
+            state, jnp.asarray(batch["image"]), jnp.asarray(batch["metadata"])
+        )
+        logits = np.asarray(logits)
+        if loss_fn is not None:
+            # per-batch loss on the wrapped batch (matches reference's
+            # per-loader-batch mean, train_pad_20.py:121-128)
+            losses.append(
+                float(loss_fn(jnp.asarray(logits), jnp.asarray(batch["label"])))
+            )
+        p = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+        probs_out[idx] = np.asarray(p, dtype=np.float32)
+    labels = source.labels[:n]
+    preds = probs_out.argmax(axis=1)
+    metrics = classification_metrics(labels, preds, probs_out, num_classes)
+    mean_loss = float(np.mean(losses)) if losses else float("nan")
+    return metrics, labels, preds, probs_out, mean_loss
+
+
+def train_process(
+    model,
+    train_source,
+    val_source,
+    num_classes: int,
+    config: TrainConfig = TrainConfig(),
+    tracker=None,
+    fold_num: int = 0,
+) -> Tuple[TrainState, Dict, Dict[str, List[float]]]:
+    cfg = config
+    rng = jax.random.key(cfg.seed)
+
+    class_weights = compute_class_weights(train_source.labels, num_classes)
+    loss_fn = make_loss_fn(cfg.loss, class_weights, cfg.focal_gamma)
+
+    sample = train_source.batch(np.arange(min(cfg.batch_size, len(train_source))))
+    # static batch shape: tile sample up to batch_size if the source is tiny
+    if sample["image"].shape[0] < cfg.batch_size:
+        reps = -(-cfg.batch_size // sample["image"].shape[0])
+        sample = {k: np.concatenate([v] * reps)[: cfg.batch_size] for k, v in sample.items()}
+
+    init_rng, rng = jax.random.split(rng)
+    # optimizer with freeze mask
+    probe_tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
+    state = create_train_state(model, init_rng, sample, probe_tx)
+    mask = trainable_mask(state.params, cfg.unfreeze_weights)
+    tx = make_optimizer(cfg.learning_rate, cfg.weight_decay, mask=mask)
+    state = dataclasses.replace(state, opt_state=tx.init(state.params))
+
+    train_step = make_train_step(
+        model, tx, loss_fn, augment=cfg.augment, image_dtype=_dtype(cfg)
+    )
+    eval_step = make_eval_step(model, image_dtype=_dtype(cfg))
+
+    early = EarlyStopping(
+        patience=cfg.early_stopping_patience,
+        delta=cfg.early_stopping_delta,
+        metric_name=cfg.early_stopping_metric,
+    )
+    plateau = PlateauScheduler(
+        lr=cfg.learning_rate, factor=cfg.plateau_factor, patience=cfg.plateau_patience
+    )
+    history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
+    step_rng = jax.random.fold_in(rng, 1)
+
+    t0 = time.time()
+    epoch = 0
+    for epoch in range(cfg.num_epochs):
+        batches = epoch_batches(
+            train_source.labels,
+            num_classes,
+            cfg.batch_size,
+            seed=cfg.seed,
+            epoch=epoch,
+            weighted=cfg.weighted_sampling,
+        )
+        running = 0.0
+        for bi, row in enumerate(batches):
+            batch = train_source.batch(row)
+            state, loss = train_step(
+                state,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["metadata"]),
+                jnp.asarray(batch["label"]),
+                step_rng,
+            )
+            running += float(loss)
+            if tracker and cfg.log_every and (bi + 1) % cfg.log_every == 0:
+                tracker.log_metric("batch_loss", float(loss), step=int(state.step))
+        train_loss = running / max(len(batches), 1)
+
+        metrics, _, _, _, val_loss = evaluate(
+            eval_step, state, val_source, cfg.batch_size, num_classes, loss_fn
+        )
+        metrics.update(
+            epoch=epoch, train_loss=float(train_loss), val_loss=float(val_loss)
+        )
+        history["train_loss"].append(float(train_loss))
+        history["val_loss"].append(float(val_loss))
+
+        new_lr = plateau.step(val_loss)
+        state = dataclasses.replace(
+            state, opt_state=set_learning_rate(state.opt_state, new_lr)
+        )
+
+        if tracker:
+            tracker.log_dict(
+                {k: v for k, v in metrics.items() if isinstance(v, (int, float))},
+                step=epoch + 1,
+            )
+
+        early(
+            val_loss=val_loss,
+            val_bacc=float(metrics["balanced_accuracy"]),
+            state=state,
+        )
+        if early.early_stop:
+            break
+
+    best_state = early.load_best(state)
+    final_metrics, labels, preds, probs, _ = evaluate(
+        eval_step, best_state, val_source, cfg.batch_size, num_classes, loss_fn
+    )
+    final_metrics["fold"] = fold_num
+    final_metrics["train process time"] = time.time() - t0
+    final_metrics["epochs"] = epoch
+    return best_state, final_metrics, {
+        **history,
+        "labels": labels,
+        "predictions": preds,
+        "probabilities": probs,
+    }
