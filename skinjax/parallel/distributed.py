@@ -1,0 +1,39 @@
+"""Distributed training utilities: put a TrainState + batches onto a mesh.
+
+The sharding rule (parallel/mesh.py) is shape-only, so the same rule tree
+applies to params and to the Adam moments inside opt_state — everything that
+mirrors a TP-sharded kernel is sharded the same way, everything else is
+replicated. Batches shard over the ``data`` axis. After device_put, the
+ordinary jitted train step (train/steps.py) runs SPMD: GSPMD inserts the
+gradient psums over ``data`` and the activation collectives over ``model``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from skinjax.parallel.mesh import param_sharding_rules
+from skinjax.train.steps import TrainState
+
+
+def distribute_state(mesh: Mesh, state: TrainState, min_tp_dim: int = 1024) -> TrainState:
+    def put_tree(tree):
+        rules = param_sharding_rules(mesh, tree, min_tp_dim)
+        return jax.tree_util.tree_map(jax.device_put, tree, rules)
+
+    return TrainState(
+        params=put_tree(state.params),
+        batch_stats=put_tree(state.batch_stats),
+        opt_state=put_tree(state.opt_state),
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+    )
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, "jax.Array"]) -> Dict[str, "jax.Array"]:
+    sh = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
