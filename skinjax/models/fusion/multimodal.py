@@ -169,10 +169,16 @@ class MultimodalModel(nn.Module):
         *,
         train: bool = False,
         capture: bool = False,
+        feature_delta: Optional[jax.Array] = None,
     ):
         """image: (B, H, W, 3) NHWC; metadata: (B, vocab_size) featurized.
 
         Returns logits (B, num_classes), or (logits, aux-dict) if capture.
+
+        ``feature_delta`` is a structural-zero perturbation added to the
+        backbone's spatial feature map: ``jax.grad`` of a class score w.r.t.
+        it yields d(score)/d(feature_map) — the JAX-native replacement for
+        the reference's forward hooks (gradcam_plusplus.py:169-188).
         """
         det = not train
         aux: Dict[str, Any] = {}
@@ -181,6 +187,8 @@ class MultimodalModel(nn.Module):
         # ---- Image tower → (B, D_img) -------------------------------------
         img_feat = self.image_encoder(image, train=train)
         if img_feat.ndim == 4:  # NHWC spatial map → GAP
+            if feature_delta is not None:
+                img_feat = img_feat + feature_delta
             aux["feature_map"] = img_feat
             img_feat = img_feat.mean(axis=(1, 2))
         elif img_feat.ndim == 3:  # token sequence → CLS
