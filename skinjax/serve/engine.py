@@ -1,0 +1,181 @@
+"""Inference engine: jitted end-to-end predict with a Pallas-fused fusion
+stage for the serving path.
+
+Rebuilds the reference's serving stack core (api.py:103-143,
+src/services/XAI/models/inference.py:29-64): load a checkpointed model +
+persisted featurizer, preprocess an image + raw metadata CSV line into the
+training feature space, run one compiled forward, return class + probs.
+
+The fused path replaces the fusion stage with the skinjax.ops.pallas kernels
+(one VMEM-resident program per block instead of ~10 XLA ops each) for the
+mechanisms that dominate the zoo; other mechanisms fall back to the standard
+model.apply — both paths are inside the same jit so the choice is free at
+trace time.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skinjax.data.augment import IMAGENET_MEAN, IMAGENET_STD
+from skinjax.data.featurizer import MetadataFeaturizer
+from skinjax.models.fusion.multimodal import _RGATT, MultimodalModel
+from skinjax.ops.pallas import fusion_kernels as fk
+
+FUSED_MECHANISMS = ("concatenation", "crossattention", "weighted", _RGATT)
+
+
+def preprocess_image(image_u8: np.ndarray, size=(224, 224)) -> np.ndarray:
+    """uint8 HWC (any size) -> normalized float32 (1, H, W, 3)."""
+    import cv2
+
+    if image_u8.shape[:2] != tuple(size):
+        image_u8 = cv2.resize(image_u8, size[::-1], interpolation=cv2.INTER_LINEAR)
+    img = image_u8.astype(np.float32) / 255.0
+    img = (img - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    return img[None]
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model: MultimodalModel,
+        variables: Dict,
+        featurizer: Optional[MetadataFeaturizer] = None,
+        class_names: Optional[Sequence[str]] = None,
+        use_fused: bool = True,
+    ):
+        self.model = model
+        self.variables = variables
+        self.featurizer = featurizer
+        self.class_names = list(
+            class_names
+            or (featurizer.label_encoder.classes if featurizer else [])
+        )
+        mech = model.attention_mechanism
+        self.fused = use_fused and mech in FUSED_MECHANISMS
+        self._predict = jax.jit(
+            self._fused_forward if self.fused else self._plain_forward
+        )
+
+    # -- forwards -----------------------------------------------------------
+    def _plain_forward(self, image, metadata):
+        logits = self.model.apply(self.variables, image, metadata)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def _towers(self, image, metadata):
+        bound = self.model.bind(self.variables)
+        img_feat = bound.image_encoder(image)
+        if img_feat.ndim == 4:
+            img_feat = img_feat.mean(axis=(1, 2))
+        elif img_feat.ndim == 3:
+            img_feat = img_feat[:, 0]
+        proj_img = bound.image_projector(img_feat)
+        txt_feat = bound.text_tower(metadata)
+        proj_txt = bound.text_projector(txt_feat)
+        return proj_img, proj_txt
+
+    def _fused_forward(self, image, metadata):
+        p = self.variables["params"]
+        mech = self.model.attention_mechanism
+        proj_img, proj_txt = self._towers(image, metadata)
+
+        if mech == "concatenation":
+            fused = jnp.concatenate([proj_img, proj_txt], axis=-1)
+        elif mech == "weighted":
+            a_i = jax.nn.sigmoid(proj_img @ p["img_gate"]["kernel"] + p["img_gate"]["bias"])
+            a_t = jax.nn.sigmoid(proj_txt @ p["txt_gate"]["kernel"] + p["txt_gate"]["bias"])
+            fused = jnp.concatenate([a_i * proj_img, a_t * proj_txt], axis=-1)
+        elif mech == "crossattention":
+            img_att = fk.seq1_attention(proj_img, *fk.mha_args(p["image_self_attention"]))
+            txt_att = fk.seq1_attention(proj_txt, *fk.mha_args(p["text_self_attention"]))
+            img_x = fk.seq1_attention(txt_att, *fk.mha_args(p["image_cross_attention"]))
+            txt_x = fk.seq1_attention(img_att, *fk.mha_args(p["text_cross_attention"]))
+            fused = jnp.concatenate([img_x, txt_x], axis=-1)
+        else:  # RG-ATT
+            img_att = fk.seq1_attention(proj_img, *fk.mha_args(p["image_self_attention"]))
+            txt_att = fk.seq1_attention(proj_txt, *fk.mha_args(p["text_self_attention"]))
+            img_r = fk.gated_residual_seq1(
+                proj_img, img_att, *fk.grb_args(p["image_residual"])
+            )
+            txt_r = fk.gated_residual_seq1(
+                proj_txt, txt_att, *fk.grb_args(p["text_residual"])
+            )
+            img_x = fk.seq1_attention(txt_r, *fk.mha_args(p["image_cross_attention"]))
+            txt_x = fk.seq1_attention(img_r, *fk.mha_args(p["text_cross_attention"]))
+            fused = jnp.concatenate([img_x, txt_x], axis=-1)
+
+        logits = fk.mlp_head(fused, *fk.mlp_head_args(p["fc_fusion"]))
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    # -- public API ---------------------------------------------------------
+    def predict_probs(self, image: np.ndarray, metadata: np.ndarray) -> np.ndarray:
+        """image: normalized (B, H, W, 3); metadata: featurized (B, F)."""
+        return np.asarray(
+            self._predict(jnp.asarray(image), jnp.asarray(metadata))
+        )
+
+    def predict(self, image_u8: np.ndarray, metadata_csv_line: str) -> Dict:
+        """Raw-image + raw-CSV-line entry (api.py:165-203 response schema)."""
+        if self.featurizer is None:
+            raise ValueError("predict() on raw inputs requires a featurizer")
+        image = preprocess_image(image_u8)
+        feats = self._featurize_csv_line(metadata_csv_line)
+        probs = self.predict_probs(image, feats)[0]
+        idx = int(probs.argmax())
+        return {
+            "predicted_label_index": idx,
+            "predicted_classname": (
+                self.class_names[idx] if self.class_names else str(idx)
+            ),
+            "probabilities": probs.tolist(),
+        }
+
+    def _featurize_csv_line(self, line: str) -> np.ndarray:
+        fz = self.featurizer
+        cols = fz.categorical_cols + fz.numerical_cols
+        vals = [v.strip() for v in line.split(",")]
+        if len(vals) != len(cols):
+            raise ValueError(
+                f"expected {len(cols)} metadata values ({cols}), got {len(vals)}"
+            )
+        table = {}
+        for c, v in zip(cols, vals):
+            if c in fz.numerical_cols:
+                try:
+                    table[c] = np.asarray([float(v) if v not in ("", "EMPTY") else -1.0])
+                except ValueError:
+                    table[c] = np.asarray([-1.0])
+            else:
+                table[c] = np.asarray([v if v else "EMPTY"], dtype=object)
+        return fz.transform(table)
+
+    def measure_latency(
+        self, n: int = 50, batch: int = 1, image_size=(224, 224)
+    ) -> Dict[str, float]:
+        """p50/p95 end-to-end device latency (north-star metric #2)."""
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(
+            rng.normal(size=(batch, *image_size, 3)).astype(np.float32)
+        )
+        meta = jnp.asarray(
+            rng.normal(size=(batch, self.model.vocab_size)).astype(np.float32)
+        )
+        self._predict(img, meta).block_until_ready()
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            self._predict(img, meta).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        times = np.sort(times)
+        return {
+            "p50_ms": float(np.percentile(times, 50) * 1e3),
+            "p95_ms": float(np.percentile(times, 95) * 1e3),
+            "mean_ms": float(times.mean() * 1e3),
+        }
