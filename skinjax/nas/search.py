@@ -1,0 +1,151 @@
+"""NAS search drivers: REINFORCE / Bayesian-opt / LLM / random over DynamicCNN.
+
+The loop skeleton of nas/optimization_train_process_pad_20.py:220-389: 80/20
+stratified split (seed 42), per-step candidate training via the standard
+train_process (early stop on val_bacc), reward = balanced accuracy (failed
+configs reward 0.0 and the search continues), best_config.json at the end.
+``retrain_best`` re-trains a winning config with the full k-fold
+(nas/train_pad_20_optimized_model.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from skinjax.data.splits import train_val_split
+from skinjax.nas.bayes_opt import GPSearch
+from skinjax.nas.controller import ReinforceSearch
+from skinjax.nas.dynamic_model import make_dynamic_model
+from skinjax.nas.llm_controller import LLMSearch
+from skinjax.nas.search_space import DEFAULT_SEARCH_SPACE, config_to_indices
+from skinjax.train.kfold import SubsetSource, run_kfold
+from skinjax.train.loop import TrainConfig, train_process
+
+
+def _default_trainer(source, num_classes: int, train_cfg: TrainConfig, seed: int = 42):
+    """Returns candidate_config -> reward (val balanced accuracy)."""
+    labels = source.labels
+    train_idx, val_idx = train_val_split(labels, val_fraction=0.2, seed=seed)
+    train_src = SubsetSource(source, train_idx)
+    val_src = SubsetSource(source, val_idx)
+
+    def evaluate_candidate(config: Dict) -> float:
+        model = make_dynamic_model(
+            config, num_classes=num_classes, vocab_size=source.features.shape[1]
+        )
+        _, metrics, _ = train_process(
+            model, train_src, val_src, num_classes, config=train_cfg
+        )
+        return float(metrics["balanced_accuracy"])
+
+    return evaluate_candidate
+
+
+def run_nas(
+    source,
+    num_classes: int,
+    strategy: str = "reinforce",
+    search_steps: int = 50,
+    search_space: Optional[Dict] = None,
+    train_cfg: Optional[TrainConfig] = None,
+    evaluate_candidate: Optional[Callable[[Dict], float]] = None,
+    results_dir: str = "./results/nas",
+    llm_model_name: Optional[str] = None,
+    tracker=None,
+    seed: int = 42,
+) -> Tuple[Dict, float, List[Dict]]:
+    """Returns (best_config, best_reward, step_log); writes best_config.json."""
+    space = search_space or DEFAULT_SEARCH_SPACE
+    train_cfg = train_cfg or TrainConfig(
+        num_epochs=10, early_stopping_patience=5, early_stopping_metric="val_bacc",
+    )
+    if evaluate_candidate is None:
+        evaluate_candidate = _default_trainer(source, num_classes, train_cfg, seed)
+
+    rng = np.random.default_rng(seed)
+    if strategy == "reinforce":
+        searcher = ReinforceSearch(space, seed=seed)
+    elif strategy == "bo":
+        searcher = GPSearch(space, seed=seed)
+    elif strategy == "llm":
+        if not llm_model_name:
+            raise ValueError("strategy='llm' requires llm_model_name")
+        searcher = LLMSearch(space, llm_model_name, seed=seed)
+    elif strategy == "random":
+        searcher = None
+    else:
+        raise ValueError(f"unknown NAS strategy '{strategy}'")
+
+    best_cfg: Optional[Dict] = None
+    best_reward = -float("inf")
+    log: List[Dict] = []
+
+    for step in range(search_steps):
+        if strategy == "reinforce":
+            config, indices = searcher.sample_config()
+        elif strategy == "bo":
+            config, indices = searcher.propose()
+        elif strategy == "llm":
+            config = searcher.propose()
+            indices = config_to_indices(config, space)
+        else:  # random
+            config = {k: v[int(rng.integers(len(v)))] for k, v in space.items()}
+            indices = config_to_indices(config, space)
+
+        try:
+            reward = evaluate_candidate(config)
+        except Exception as e:  # failed configs score 0.0 (reference parity)
+            print(f"[nas] step {step}: candidate failed ({type(e).__name__}: {e})")
+            reward = 0.0
+
+        if strategy == "reinforce":
+            stats = searcher.update(indices, reward)
+        elif strategy == "bo":
+            searcher.observe(indices, reward)
+            stats = {}
+        elif strategy == "llm":
+            searcher.observe(config, reward)
+            stats = {}
+        else:
+            stats = {}
+
+        if reward > best_reward:
+            best_reward, best_cfg = reward, config
+        log.append({"step": step, "config": config, "reward": reward, **stats})
+        if tracker:
+            tracker.log_metric("reward", reward, step=step)
+            tracker.log_metric("best_reward", best_reward, step=step)
+
+    os.makedirs(results_dir, exist_ok=True)
+    with open(os.path.join(results_dir, "best_config.json"), "w") as f:
+        json.dump({"config": best_cfg, "reward": best_reward}, f, indent=1, default=str)
+    return best_cfg, best_reward, log
+
+
+def retrain_best(
+    source,
+    labels,
+    groups,
+    num_classes: int,
+    class_names,
+    best_config_path: str,
+    train_cfg: Optional[TrainConfig] = None,
+    k_folds: int = 5,
+    results_dir: str = "./results/nas_retrain",
+) -> List[Dict]:
+    """Full k-fold retrain of a best_config.json
+    (nas/train_pad_20_optimized_model.py)."""
+    with open(best_config_path) as f:
+        best = json.load(f)["config"]
+    return run_kfold(
+        model_factory=lambda: make_dynamic_model(
+            best, num_classes=num_classes, vocab_size=source.features.shape[1]
+        ),
+        source=source, labels=labels, groups=groups, num_classes=num_classes,
+        class_names=class_names, config=train_cfg or TrainConfig(),
+        k_folds=k_folds, results_dir=results_dir, model_name="nas_best",
+    )
