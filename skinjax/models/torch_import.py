@@ -1,0 +1,191 @@
+"""torch → flax weight importers.
+
+Converts reference / torchvision state_dicts into skinjax param trees so (a)
+pretrained backbones can be ingested when weight files are available and (b)
+reference checkpoints can be loaded for accuracy-parity checks (SURVEY.md §7
+'hard parts': BN statistics, packed MHA in_proj, NCHW→NHWC kernel layout).
+
+Tensors are plain numpy (pass ``{k: v.numpy() for k, v in sd.items()}`` or let
+``load_torch_state_dict`` do it via torch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    # tolerate DataParallel 'module.' prefixes (inference_all_folds.py:50-51)
+    return {k.removeprefix("module."): v.numpy() for k, v in sd.items()}
+
+
+# -- primitive converters (torch layout -> flax layout) ----------------------
+
+
+def t2f_linear(sd: Dict, prefix: str) -> Dict:
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def t2f_conv(sd: Dict, prefix: str) -> Dict:
+    # torch OIHW -> flax HWIO
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].transpose(2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def t2f_bn(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """Returns (params, batch_stats)."""
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def t2f_ln(sd: Dict, prefix: str) -> Dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def t2f_mha(sd: Dict, prefix: str, dim: int) -> Dict:
+    """Packed in_proj (3D, D) -> separate q/k/v + out_proj flax Dense trees."""
+    w = sd[f"{prefix}.in_proj_weight"]
+    b = sd[f"{prefix}.in_proj_bias"]
+    mk = lambda W, bb: {"kernel": np.ascontiguousarray(W.T), "bias": bb}
+    return {
+        "q_proj": mk(w[:dim], b[:dim]),
+        "k_proj": mk(w[dim : 2 * dim], b[dim : 2 * dim]),
+        "v_proj": mk(w[2 * dim :], b[2 * dim :]),
+        "out_proj": mk(sd[f"{prefix}.out_proj.weight"], sd[f"{prefix}.out_proj.bias"]),
+    }
+
+
+# -- ResNet (torchvision naming) ---------------------------------------------
+
+
+def import_resnet(
+    sd: Dict[str, np.ndarray],
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+    block: str = "bottleneck",
+    prefix: str = "",
+) -> Tuple[Dict, Dict]:
+    """torchvision resnet18/50 state_dict -> (params, batch_stats) for
+    skinjax.models.backbones.resnet.ResNet."""
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put_convbn(name: str, conv_key: str, bn_key: str):
+        conv = t2f_conv(sd, P(conv_key))
+        bnp, bns = t2f_bn(sd, P(bn_key))
+        params[name] = {"conv": conv, "bn": bnp}
+        stats[name] = {"bn": bns}
+
+    put_convbn("stem", "conv1", "bn1")
+    n_convs = 3 if block == "bottleneck" else 2
+    for li, n_blocks in enumerate(stage_sizes, start=1):
+        for bi in range(n_blocks):
+            blk = f"layer{li}_{bi}"
+            params[blk] = {}
+            stats[blk] = {}
+            for ci in range(1, n_convs + 1):
+                conv = t2f_conv(sd, P(f"layer{li}.{bi}.conv{ci}"))
+                bnp, bns = t2f_bn(sd, P(f"layer{li}.{bi}.bn{ci}"))
+                params[blk][f"conv{ci}"] = {"conv": conv, "bn": bnp}
+                stats[blk][f"conv{ci}"] = {"bn": bns}
+            dkey = P(f"layer{li}.{bi}.downsample.0.weight")
+            if dkey in sd:
+                conv = t2f_conv(sd, P(f"layer{li}.{bi}.downsample.0"))
+                bnp, bns = t2f_bn(sd, P(f"layer{li}.{bi}.downsample.1"))
+                params[blk]["downsample"] = {"conv": conv, "bn": bnp}
+                stats[blk]["downsample"] = {"bn": bns}
+    return params, stats
+
+
+# -- the reference MultimodalModel checkpoint ---------------------------------
+
+
+def import_multimodal_checkpoint(
+    sd: Dict[str, np.ndarray],
+    common_dim: int = 512,
+    backbone: str = "resnet-50",
+) -> Tuple[Dict, Dict]:
+    """Reference MultimodalModel state_dict (multimodalIntraInterModal.py) ->
+    (params, batch_stats) for skinjax MultimodalModel. Supports the resnet
+    backbones; extend per-backbone as importers land."""
+    if backbone == "resnet-50":
+        enc_p, enc_s = import_resnet(sd, (3, 4, 6, 3), "bottleneck", "image_encoder.")
+    elif backbone == "resnet-18":
+        enc_p, enc_s = import_resnet(sd, (2, 2, 2, 2), "basic", "image_encoder.")
+    else:
+        raise NotImplementedError(f"importer for backbone '{backbone}'")
+
+    params: Dict = {"image_encoder": enc_p}
+    stats: Dict = {"image_encoder": enc_s}
+
+    params["image_projector"] = t2f_linear(sd, "image_projector")
+    params["text_projector"] = t2f_linear(sd, "text_projector")
+    if "text_fc.0.weight" in sd:
+        params["text_tower"] = {
+            "fc0": t2f_linear(sd, "text_fc.0"),
+            "fc1": t2f_linear(sd, "text_fc.2"),
+            "fc2": t2f_linear(sd, "text_fc.4"),
+        }
+    for name in ("image_self_attention", "text_self_attention",
+                 "image_cross_attention", "text_cross_attention"):
+        if f"{name}.in_proj_weight" in sd:
+            params[name] = t2f_mha(sd, name, common_dim)
+    for name in ("img_gate", "txt_gate", "fc_visual_only",
+                 "fc_fusion_proj_feat2output"):
+        if f"{name}.weight" in sd:
+            params[name] = t2f_linear(sd, name)
+    if "meta_block.fb.0.weight" in sd:
+        params["meta_block"] = {
+            "fb": t2f_linear(sd, "meta_block.fb.0"),
+            "fb_norm": t2f_ln(sd, "meta_block.fb.1"),
+            "gb": t2f_linear(sd, "meta_block.gb.0"),
+            "gb_norm": t2f_ln(sd, "meta_block.gb.1"),
+        }
+    for res in ("image_residual", "text_residual"):
+        if f"{res}.attn.in_proj_weight" in sd:
+            params[res] = {
+                "attn": t2f_mha(sd, f"{res}.attn", common_dim),
+                "gate_linear": t2f_linear(sd, f"{res}.gate_linear"),
+                "norm": t2f_ln(sd, f"{res}.norm"),
+            }
+
+    def mlp_head(prefix: str) -> Dict:
+        return {
+            "fc1": t2f_linear(sd, f"{prefix}.0"),
+            "norm1": t2f_ln(sd, f"{prefix}.1"),
+            "fc2": t2f_linear(sd, f"{prefix}.4"),
+            "norm2": t2f_ln(sd, f"{prefix}.5"),
+            "fc_out": t2f_linear(sd, f"{prefix}.8"),
+        }
+
+    if "fc_fusion.0.weight" in sd:
+        params["fc_fusion"] = mlp_head("fc_fusion")
+    if "fc_mlp_module_after_metablock_fusion_module.0.weight" in sd:
+        params["fc_after_metablock"] = mlp_head(
+            "fc_mlp_module_after_metablock_fusion_module"
+        )
+    return params, stats
+
+
+def filter_to_template(tree: Dict, template: Dict) -> Dict:
+    """Prune an imported tree to the keys a model actually initializes (the
+    reference instantiates every fusion submodule but each mechanism only
+    uses a subset; skinjax creates only the used ones)."""
+    if not isinstance(template, dict):
+        return tree
+    return {
+        k: filter_to_template(tree[k], template[k]) for k in template if k in tree
+    }

@@ -1,0 +1,118 @@
+"""Top-level experiment sweeps — the reference's per-dataset ``train_*.py``
+entry points (run_expirements triple loop, train_pad_20.py:406-489) unified
+behind one driver with per-dataset loss/splitter presets:
+
+  pad-ufes-20  group k-fold (patient), weighted CE   (train_pad_20.py:239,52)
+  isic-2019    group k-fold (lesion), CE             (train_isic_2019.py:224)
+  isic-2020    stratified k-fold, CE                 (train_isic_2020.py:223)
+  derm7pt      focal loss                            (train_derm7pt.py:52)
+  midas        group folds (record), focal           (train_midas.py:91,299)
+  milk10k      focal                                 (train_milk10K.py:46-138)
+  pad-ufes-25 / skindisnet  CE
+
+Every (mechanism × backbone × num_heads) cell runs the full k-fold; failures
+are logged and the sweep continues (the reference's try/except-continue,
+train_pad_20.py:427,486-488).
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+from typing import Dict, List, Optional
+
+from skinjax.configs import ExperimentConfig
+from skinjax.data.pipeline import FileSource, ImageStore
+from skinjax.data.schemas import PreparedDataset, prepare_dataset
+from skinjax.models.factory import create_model
+from skinjax.train.kfold import run_kfold
+from skinjax.train.loop import TrainConfig
+
+DATASET_PRESETS: Dict[str, Dict] = {
+    "pad-ufes-20": {"loss": "weighted_ce", "grouped": True},
+    "pad-ufes-25": {"loss": "weighted_ce", "grouped": True},
+    "isic-2019": {"loss": "weighted_ce", "grouped": True},
+    "isic-2020": {"loss": "weighted_ce", "grouped": False},
+    "derm7pt": {"loss": "focal", "grouped": True},
+    "midas": {"loss": "focal", "grouped": True},
+    "milk10k": {"loss": "focal", "grouped": True},
+    "skindisnet": {"loss": "weighted_ce", "grouped": False},
+}
+
+
+def build_source(prepared: PreparedDataset, images_dir: str, image_size=(224, 224),
+                 cache: bool = True) -> FileSource:
+    store = ImageStore(images_dir, size=image_size, cache=cache)
+    return FileSource(store, prepared.image_files, prepared.features, prepared.labels)
+
+
+def run_experiments(
+    cfg: ExperimentConfig,
+    source=None,
+    prepared: Optional[PreparedDataset] = None,
+    tracker=None,
+) -> List[Dict]:
+    """The mechanism × backbone × heads sweep. Returns all fold metrics."""
+    preset = DATASET_PRESETS.get(cfg.dataset, {"loss": "weighted_ce", "grouped": True})
+
+    if prepared is None:
+        metadata_csv = cfg.metadata_csv or os.path.join(
+            cfg.dataset_folder_path or ".", "metadata.csv"
+        )
+        prepared = prepare_dataset(
+            cfg.dataset, metadata_csv,
+            featurizer_path=os.path.join(
+                cfg.results_folder_path, "preprocess_data",
+                f"featurizer_{cfg.dataset}.json",
+            ),
+        )
+    if source is None:
+        images_dir = cfg.images_dir or os.path.join(
+            cfg.dataset_folder_path or ".", "images"
+        )
+        source = build_source(prepared, images_dir)
+
+    train_cfg = cfg.train
+    if train_cfg.loss == "weighted_ce" and preset["loss"] != "weighted_ce":
+        import dataclasses
+
+        train_cfg = dataclasses.replace(train_cfg, loss=preset["loss"])
+
+    all_metrics: List[Dict] = []
+    for mechanism in cfg.attention_mechanisms:
+        for backbone in cfg.cnn_model_names:
+            for num_heads in cfg.list_num_heads:
+                name = f"{cfg.model_name}_{backbone}_{mechanism}_h{num_heads}"
+                try:
+                    metrics = run_kfold(
+                        model_factory=lambda: create_model(
+                            num_classes=prepared.num_classes,
+                            model_name=cfg.model_name,
+                            cnn_model_name=backbone,
+                            text_model_name=cfg.text_model_name,
+                            attention_mechanism=mechanism,
+                            num_heads=num_heads,
+                            common_dim=cfg.common_dim,
+                            vocab_size=prepared.feature_dim,
+                        ),
+                        source=source,
+                        labels=prepared.labels,
+                        groups=prepared.groups if preset["grouped"] else None,
+                        num_classes=prepared.num_classes,
+                        class_names=prepared.class_names,
+                        config=train_cfg,
+                        k_folds=cfg.k_folds,
+                        results_dir=os.path.join(cfg.results_folder_path, name),
+                        model_name=name,
+                        tracker=tracker,
+                        save_checkpoints=cfg.save_to_disk,
+                    )
+                    for m in metrics:
+                        m.update(mechanism=mechanism, backbone=backbone,
+                                 num_heads=num_heads, model=name)
+                    all_metrics.extend(metrics)
+                except Exception:
+                    # sweep survives individual failures (train_pad_20.py:486-488)
+                    print(f"[experiments] cell {name} failed:")
+                    traceback.print_exc()
+    return all_metrics
