@@ -14,7 +14,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from skinjax.models.backbones import cnn_zoo, resnet, vit
+from skinjax.models.backbones import cnn_zoo, resnet, transformer_zoo, vit
 
 # name -> (constructor(dtype, common_dim) -> module, feature_dim or None if
 # common_dim-dependent)
@@ -65,6 +65,8 @@ register("densenet169", _simple(cnn_zoo.DenseNet, block_config=(6, 12, 32, 32)),
 register("mobilenet-v2", _simple(cnn_zoo.MobileNetV2), 1280)
 register("efficientnet-b0", _simple(cnn_zoo.EfficientNet, width=1.0, depth=1.0), 1280)
 register("efficientnet-b7", _simple(cnn_zoo.EfficientNet, width=2.0, depth=3.1), 2560)
+register("swin_tiny_patch4_window7_224", _simple(transformer_zoo.swin_tiny), 768)
+register("davit_tiny", _simple(transformer_zoo.davit_tiny), 768)
 register("vit_tiny_patch16_224", _simple(vit.vit_tiny), 192)
 register("vit_small_patch16_224", _simple(vit.vit_small), 384)
 register("vit_base_patch16_224", _simple(vit.vit_base), 768)

@@ -1,0 +1,257 @@
+"""Hierarchical vision transformers: Swin-tiny and DaViT-tiny (Flax, NHWC).
+
+These are the timm-class backbones the reference sweeps through its generic
+loader (loadImageModelClassifier.py:115-150); davit_tiny is the
+best-balanced-accuracy backbone in the published table (BASELINE.md: 0.8228).
+
+TPU notes: window partition is pure reshape/transpose (layout ops XLA folds
+into the attention einsums); window attention runs as one batched MHA over
+(B·num_windows) with fp32 softmax; Swin's shifted windows use jnp.roll
+(a cheap HBM-contiguous rotation) + a precomputed static attention mask;
+DaViT's channel attention is a (C/h × C/h) MXU matmul per head — no gathers
+anywhere on the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def window_partition(x: jax.Array, w: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nW, w*w, C); H, W divisible by w."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // w, w, W // w, w, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B * (H // w) * (W // w), w * w, C)
+
+
+def window_reverse(x: jax.Array, w: int, H: int, W: int) -> jax.Array:
+    B = x.shape[0] // ((H // w) * (W // w))
+    x = x.reshape(B, H // w, W // w, w, w, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, -1)
+
+
+class WindowAttention(nn.Module):
+    """MHA within windows with relative position bias (Swin-style)."""
+
+    dim: int
+    num_heads: int
+    window: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None):
+        """x: (nB, w*w, C); mask: (nW, w*w, w*w) additive or None."""
+        nB, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(nB, N, 3, h, hd), 3, axis=2)
+        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))  # (nB,h,N,hd)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn / jnp.sqrt(hd).astype(attn.dtype)
+
+        # relative position bias table, indexed by a static relative index map
+        w = self.window
+        table = self.param(
+            "rel_bias", nn.initializers.normal(0.02), ((2 * w - 1) ** 2, h)
+        )
+        coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+        coords = coords.reshape(2, -1)
+        rel = coords[:, :, None] - coords[:, None, :]
+        rel = (rel[0] + w - 1) * (2 * w - 1) + (rel[1] + w - 1)  # (N, N) static
+        bias = table[jnp.asarray(rel)]  # (N, N, h)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(nB // nW, nW, h, N, N) + mask[None, :, None].astype(
+                attn.dtype
+            )
+            attn = attn.reshape(nB, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3)
+        out = out.reshape(nB, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    ratio: float = 4.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(int(self.dim * self.ratio), dtype=self.dtype, name="fc1")(x)
+        y = nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+
+
+def _swin_attn_mask(H: int, W: int, w: int, shift: int) -> np.ndarray:
+    """Static additive mask for shifted windows."""
+    img = np.zeros((1, H, W, 1))
+    cnt = 0
+    for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+        for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    win = img.reshape(1, H // w, w, W // w, w, 1).transpose(0, 1, 3, 2, 4, 5)
+    win = win.reshape(-1, w * w)
+    diff = win[:, :, None] - win[:, None, :]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int = 7
+    shift: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if self.shift > 0:
+            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(_swin_attn_mask(H, W, self.window, self.shift))
+        else:
+            mask = None
+        y = window_partition(y, self.window)
+        y = WindowAttention(
+            self.dim, self.num_heads, self.window, dtype=self.dtype, name="attn"
+        )(y, mask)
+        y = window_reverse(y, self.window, H, W)
+        if self.shift > 0:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        return x + Mlp(self.dim, dtype=self.dtype, name="mlp")(y)
+
+
+class ChannelAttention(nn.Module):
+    """DaViT channel-group attention: tokens attend across channels."""
+
+    dim: int
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd), 3, axis=2)
+        q, k, v = (t[:, :, 0].transpose(0, 2, 3, 1) for t in (q, k, v))  # (B,h,hd,N)
+        scale = 1.0 / jnp.sqrt(N)
+        attn = jnp.einsum("bhcn,bhdn->bhcd", q * scale, k,
+                          preferred_element_type=jnp.float32)  # (B,h,hd,hd)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhcd,bhdn->bhcn", attn, v)  # (B,h,hd,N)
+        out = out.transpose(0, 3, 1, 2).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class DaViTDualBlock(nn.Module):
+    """Spatial window block + channel group block (one DaViT 'dual' unit)."""
+
+    dim: int
+    num_heads: int
+    window: int = 7
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        # spatial window attention
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="snorm1")(x)
+        y = window_partition(y, self.window)
+        y = WindowAttention(
+            self.dim, self.num_heads, self.window, dtype=self.dtype, name="sattn"
+        )(y)
+        y = window_reverse(y, self.window, H, W)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="snorm2")(x)
+        x = x + Mlp(self.dim, dtype=self.dtype, name="smlp")(y)
+
+        # channel group attention over the token sequence
+        t = x.reshape(B, H * W, C)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cnorm1")(t)
+        y = ChannelAttention(self.dim, self.num_heads, dtype=self.dtype,
+                             name="cattn")(y)
+        t = t + y
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cnorm2")(t)
+        t = t + Mlp(self.dim, dtype=self.dtype, name="cmlp")(y)
+        return t.reshape(B, H, W, C)
+
+
+class PatchMerge(nn.Module):
+    out_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_dim, (2, 2), strides=(2, 2), dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Swin(nn.Module):
+    dims: Sequence[int] = (96, 192, 384, 768)
+    depths: Sequence[int] = (2, 2, 6, 2)
+    heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+        for si, (dim, depth, h) in enumerate(zip(self.dims, self.depths, self.heads)):
+            if si > 0:
+                x = PatchMerge(dim, dtype=self.dtype, name=f"merge{si}")(x)
+            for bi in range(depth):
+                shift = self.window // 2 if bi % 2 == 1 else 0
+                x = SwinBlock(
+                    dim, h, self.window, shift, dtype=self.dtype,
+                    name=f"stage{si}_block{bi}",
+                )(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
+class DaViT(nn.Module):
+    dims: Sequence[int] = (96, 192, 384, 768)
+    depths: Sequence[int] = (1, 1, 3, 1)
+    heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4),
+                    padding=[(3, 3)] * 2, dtype=self.dtype, name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+        for si, (dim, depth, h) in enumerate(zip(self.dims, self.depths, self.heads)):
+            if si > 0:
+                x = PatchMerge(dim, dtype=self.dtype, name=f"merge{si}")(x)
+            for bi in range(depth):
+                x = DaViTDualBlock(
+                    dim, h, self.window, dtype=self.dtype,
+                    name=f"stage{si}_dual{bi}",
+                )(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
+swin_tiny = partial(Swin)
+davit_tiny = partial(DaViT)

@@ -82,6 +82,13 @@ class MultimodalModel(nn.Module):
     n: int = 2  # width multiplier of the fusion MLP input (2 = concat pair)
     dropout_rate: float = 0.5
     dtype: Optional[jnp.dtype] = None
+    # Custom text tower (overrides text_model_name): any module mapping the
+    # metadata input to (B, text_encoder_dim_output) — HFSentenceTower for
+    # BERT/GPT-2 sentence datasets, TabTransformer for tabular encoding.
+    text_module: Optional[Any] = None
+    # "features": metadata is (B, F) floats; "tokens": dict with
+    # input_ids/attention_mask; "tabular": dict with categorical/numerical.
+    text_input_mode: str = "features"
 
     def setup(self):
         if self.attention_mechanism not in MECHANISMS:
@@ -96,7 +103,9 @@ class MultimodalModel(nn.Module):
             self.common_dim, dtype=self.dtype, name="image_projector"
         )
 
-        if self.text_model_name == "one-hot-encoder":
+        if self.text_module is not None:
+            self.text_tower = self.text_module
+        elif self.text_model_name == "one-hot-encoder":
             self.text_tower = OneHotMLP(
                 out_dim=self.text_encoder_dim_output, dtype=self.dtype
             )
@@ -107,8 +116,8 @@ class MultimodalModel(nn.Module):
         else:
             raise ValueError(
                 f"Text tower '{self.text_model_name}' not wired into "
-                "MultimodalModel; use one-hot-encoder / static-embedding or a "
-                "sentence-model wrapper (skinjax.models.text)."
+                "MultimodalModel; use one-hot-encoder / static-embedding, or "
+                "pass text_module= (HFSentenceTower / TabTransformer)."
             )
         self.text_projector = nn.Dense(
             self.common_dim, dtype=self.dtype, name="text_projector"
@@ -208,7 +217,19 @@ class MultimodalModel(nn.Module):
             return (logits, aux) if capture else logits
 
         # ---- Metadata tower → (B, D_txt) ----------------------------------
-        txt_feat = self.text_tower(metadata, deterministic=det)
+        if self.text_input_mode == "tokens":
+            txt_feat = self.text_tower(
+                metadata["input_ids"],
+                metadata.get("attention_mask"),
+                deterministic=det,
+            )
+        elif self.text_input_mode == "tabular":
+            txt_feat = self.text_tower(
+                metadata["categorical"], metadata.get("numerical"),
+                deterministic=det,
+            )
+        else:
+            txt_feat = self.text_tower(metadata, deterministic=det)
         aux["txt_feat"] = txt_feat
 
         if mech == "metablock":
