@@ -23,20 +23,29 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    layerscale_init: Optional[float] = None  # BEiT-v2 uses 1e-5
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        def scale(y, name):
+            if self.layerscale_init is None:
+                return y
+            g = self.param(
+                name, nn.initializers.constant(self.layerscale_init), (self.dim,)
+            )
+            return y * g.astype(y.dtype)
+
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = MultiHeadAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
             y, y, y, deterministic=deterministic
         )
-        x = x + y
+        x = x + scale(y, "gamma1")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_in")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(y)
-        return x + y
+        return x + scale(y, "gamma2")
 
 
 class ViT(nn.Module):
@@ -44,6 +53,8 @@ class ViT(nn.Module):
     depth: int = 12
     num_heads: int = 12
     patch: int = 16
+    pool: str = "cls"  # "cls" | "mean" (BEiT-v2 mean-pools patch tokens)
+    layerscale_init: Optional[float] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -67,13 +78,20 @@ class ViT(nn.Module):
         x = x + pos
         for i in range(self.depth):
             x = ViTBlock(
-                self.dim, self.num_heads, dtype=self.dtype, name=f"block{i}"
+                self.dim, self.num_heads, layerscale_init=self.layerscale_init,
+                dtype=self.dtype, name=f"block{i}",
             )(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        return x if tokens else x[:, 0]
+        if tokens:
+            return x
+        return x[:, 1:].mean(axis=1) if self.pool == "mean" else x[:, 0]
 
 
 vit_tiny = partial(ViT, dim=192, depth=12, num_heads=3)
 vit_small = partial(ViT, dim=384, depth=12, num_heads=6)
 vit_base = partial(ViT, dim=768, depth=12, num_heads=12)
 vit_large = partial(ViT, dim=1024, depth=24, num_heads=16)
+# BEiT-v2 large (loadImageModelClassifier timm path; mean-pooled, layerscale)
+beitv2_large = partial(
+    ViT, dim=1024, depth=24, num_heads=16, pool="mean", layerscale_init=1e-5
+)

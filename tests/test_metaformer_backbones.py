@@ -1,0 +1,61 @@
+"""CAFormer/MViTv2/NextViT/CoaT-lite smoke tests (scaled-down configs)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from skinjax.models.backbones import available_backbones, create_backbone
+from skinjax.models.backbones.metaformer_zoo import (
+    CAFormer,
+    CoaTLite,
+    MViTv2,
+    NextViT,
+)
+
+
+@pytest.mark.parametrize(
+    "cls,kw",
+    [
+        (CAFormer, dict(dims=(8, 16), depths=(1, 1), mixers=("conv", "attention"))),
+        (MViTv2, dict(dims=(8, 16), depths=(1, 1), heads=(1, 2))),
+        (NextViT, dict(dims=(8, 16), depths=(1, 2), attn_stages=(False, True),
+                       heads=(1, 2))),
+        (CoaTLite, dict(dims=(8, 16), depths=(1, 1), heads=(1, 2))),
+    ],
+)
+def test_metaformer_variants_forward(cls, kw):
+    model = cls(**kw)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x, mutable=["batch_stats"])[0] \
+        if "batch_stats" in variables else model.apply(variables, x)
+    assert out.shape[0] == 2 and out.ndim == 4 and out.shape[-1] == 16
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_registry_covers_reference_backbone_table():
+    """Every backbone in the reference's published BACC table must exist."""
+    needed = [
+        "mvitv2_small", "coat_lite_small", "davit_tiny", "caformer_b36",
+        "beitv2_large_patch16_224", "nextvit_small", "vgg16", "mobilenet-v2",
+        "densenet169", "resnet-50",
+    ]
+    have = available_backbones()
+    missing = [n for n in needed if n not in have]
+    assert not missing, f"missing backbones: {missing}"
+
+
+def test_beitv2_mean_pool_output():
+    m, dim = create_backbone("beitv2_large_patch16_224")
+    assert dim == 1024
+    # scaled-down equivalent for execution
+    from skinjax.models.backbones.vit import ViT
+
+    small = ViT(dim=32, depth=1, num_heads=2, patch=8, pool="mean",
+                layerscale_init=1e-5)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = small.init(jax.random.key(0), x)
+    out = small.apply(variables, x)
+    assert out.shape == (2, 32)
+    assert "gamma1" in variables["params"]["block0"]
