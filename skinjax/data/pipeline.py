@@ -99,6 +99,50 @@ class FileSource:
         }
 
 
+class TokenSource:
+    """Source for sentence-metadata datasets (skinLesionDatasetsWithBert.py):
+    images + tokenized sentences (input_ids/attention_mask) + labels. The
+    metadata of a batch is a dict pytree, which the train/eval steps accept.
+    """
+
+    def __init__(
+        self,
+        images_or_store,
+        image_files,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        labels: np.ndarray,
+    ):
+        self._store = None
+        self._images = None
+        if isinstance(images_or_store, np.ndarray):
+            self._images = images_or_store
+        else:
+            self._store = images_or_store
+            self._files = list(image_files)
+        self.input_ids = input_ids.astype(np.int32)
+        self.attention_mask = attention_mask.astype(np.int32)
+        self.labels = labels.astype(np.int32)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def batch(self, idx: np.ndarray) -> Dict[str, object]:
+        idx = np.asarray(idx)
+        if self._images is not None:
+            imgs = self._images[idx]
+        else:
+            imgs = self._store.gather([self._files[i] for i in idx])
+        return {
+            "image": imgs,
+            "metadata": {
+                "input_ids": self.input_ids[idx],
+                "attention_mask": self.attention_mask[idx],
+            },
+            "label": self.labels[idx],
+        }
+
+
 def synthetic_source(
     n: int = 256,
     image_size=(224, 224),

@@ -55,11 +55,15 @@ class HFSentenceTower(nn.Module):
             "hf",
             lambda rng: self.hf_module.params,
         )
+        # HF Flax wrappers are standalone models, not nested linen submodules:
+        # they take params and dropout rng explicitly.
+        dropout_rng = None if deterministic else self.make_rng("dropout")
         out = self.hf_module(
             input_ids=input_ids,
             attention_mask=attention_mask,
             params=hf_params,
             train=not deterministic,
+            dropout_rng=dropout_rng,
         )
         pooled = out.last_hidden_state[:, 0, :]
         if self.out_dim is not None:

@@ -84,7 +84,9 @@ def evaluate(
         idx = np.arange(b * batch_size, (b + 1) * batch_size) % n
         batch = source.batch(idx)
         logits = eval_step(
-            state, jnp.asarray(batch["image"]), jnp.asarray(batch["metadata"])
+            state,
+            jnp.asarray(batch["image"]),
+            jax.tree_util.tree_map(jnp.asarray, batch["metadata"]),
         )
         logits = np.asarray(logits)
         if loss_fn is not None:
@@ -121,7 +123,9 @@ def train_process(
     # static batch shape: tile sample up to batch_size if the source is tiny
     if sample["image"].shape[0] < cfg.batch_size:
         reps = -(-cfg.batch_size // sample["image"].shape[0])
-        sample = {k: np.concatenate([v] * reps)[: cfg.batch_size] for k, v in sample.items()}
+        sample = jax.tree_util.tree_map(
+            lambda v: np.concatenate([v] * reps)[: cfg.batch_size], sample
+        )
 
     init_rng, rng = jax.random.split(rng)
     # optimizer with freeze mask
@@ -164,7 +168,7 @@ def train_process(
             state, loss = train_step(
                 state,
                 jnp.asarray(batch["image"]),
-                jnp.asarray(batch["metadata"]),
+                jax.tree_util.tree_map(jnp.asarray, batch["metadata"]),
                 jnp.asarray(batch["label"]),
                 step_rng,
             )

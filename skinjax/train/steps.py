@@ -22,6 +22,18 @@ from flax import struct
 from skinjax.data.augment import augment_batch
 
 
+def _cast_metadata(metadata, dtype):
+    """Metadata may be a (B, F) float array or a pytree (token dicts, tabular
+    dicts). Float leaves follow the compute dtype; integer leaves (token ids,
+    categorical indices) stay integral."""
+
+    def cast(leaf):
+        leaf = jnp.asarray(leaf)
+        return leaf.astype(dtype) if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+
+    return jax.tree_util.tree_map(cast, metadata)
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -34,7 +46,7 @@ def create_train_state(model, rng, sample_batch, tx) -> TrainState:
     variables = model.init(
         rng,
         jnp.zeros_like(sample_batch["image"], dtype=jnp.float32),
-        jnp.asarray(sample_batch["metadata"]),
+        jax.tree_util.tree_map(jnp.asarray, sample_batch["metadata"]),
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -58,7 +70,7 @@ def make_train_step(
     def step(state: TrainState, image_u8, metadata, label, rng):
         aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         image = augment_batch(image_u8, aug_rng, train=augment, out_dtype=image_dtype)
-        metadata = metadata.astype(image_dtype)
+        metadata = _cast_metadata(metadata, image_dtype)
 
         def loss_of(params):
             variables = {"params": params}
@@ -103,7 +115,7 @@ def make_eval_step(model, image_dtype=jnp.bfloat16) -> Callable:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        logits = model.apply(variables, image, metadata.astype(image_dtype))
+        logits = model.apply(variables, image, _cast_metadata(metadata, image_dtype))
         return logits.astype(jnp.float32)
 
     return jax.jit(step)
@@ -119,7 +131,7 @@ def make_loss_eval_step(model, loss_fn, image_dtype=jnp.bfloat16) -> Callable:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        logits = model.apply(variables, image, metadata.astype(image_dtype))
+        logits = model.apply(variables, image, _cast_metadata(metadata, image_dtype))
         logits = logits.astype(jnp.float32)
         return loss_fn(logits, label), logits
 
