@@ -1,0 +1,97 @@
+"""Reporting plots beyond the per-fold artifacts.
+
+Rebuilds src/scripts/benchmark/plots: grouped BACC barplots, confusion matrix
+from a predictions CSV (plot_confusion_matrix_from_csv.py:18), dataset sample
+grids; plus the frugality scatter living in eval/stats.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def grouped_bacc_barplot(
+    rows: List[Dict], path: str, group_key: str = "backbone",
+    hue_key: str = "mechanism", metric: str = "balanced_accuracy",
+) -> None:
+    """Mean metric per (group, hue) with std error bars."""
+    plt = _plt()
+    groups = sorted({str(r[group_key]) for r in rows})
+    hues = sorted({str(r[hue_key]) for r in rows})
+    width = 0.8 / max(len(hues), 1)
+    fig, ax = plt.subplots(figsize=(max(6, len(groups) * 1.2), 4))
+    for hi, hue in enumerate(hues):
+        means, stds = [], []
+        for g in groups:
+            vals = [
+                r[metric] for r in rows
+                if str(r[group_key]) == g and str(r[hue_key]) == hue
+                and r.get(metric) is not None
+            ]
+            means.append(np.mean(vals) if vals else 0.0)
+            stds.append(np.std(vals) if vals else 0.0)
+        x = np.arange(len(groups)) + hi * width
+        ax.bar(x, means, width=width, yerr=stds, capsize=2, label=hue)
+    ax.set_xticks(np.arange(len(groups)) + 0.4 - width / 2, groups,
+                  rotation=30, ha="right", fontsize=8)
+    ax.set_ylabel(metric)
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def confusion_from_predictions_csv(
+    csv_path: str, out_path: str, class_names: Optional[Sequence[str]] = None
+) -> None:
+    """predictions_eval_fold_N.csv -> normalized confusion matrix PNG."""
+    import pandas as pd
+
+    from skinjax.eval.artifacts import plot_confusion_matrix
+
+    df = pd.read_csv(csv_path)
+    labels = df["label"].to_numpy()
+    preds = df["prediction"].to_numpy()
+    if class_names is None:
+        prob_cols = [c for c in df.columns if c.startswith("prob_")]
+        class_names = [c[len("prob_"):] for c in prob_cols]
+    plot_confusion_matrix(labels, preds, class_names, out_path)
+
+
+def dataset_sample_grid(
+    source, path: str, n: int = 16, class_names: Optional[Sequence[str]] = None,
+    seed: int = 0,
+) -> None:
+    """Random grid of dataset samples with their labels."""
+    plt = _plt()
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(source), size=min(n, len(source)), replace=False)
+    batch = source.batch(idx)
+    cols = 4
+    rows = -(-len(idx) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2.4 * cols, 2.4 * rows))
+    for i, ax in enumerate(np.ravel(axes)):
+        ax.axis("off")
+        if i < len(idx):
+            ax.imshow(batch["image"][i])
+            lbl = int(batch["label"][i])
+            ax.set_title(
+                class_names[lbl] if class_names else str(lbl), fontsize=8
+            )
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)

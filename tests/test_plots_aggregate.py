@@ -1,0 +1,71 @@
+"""Plot + aggregation CLI tests."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_grouped_barplot_and_sample_grid(tmp_path):
+    from skinjax.data import synthetic_source
+    from skinjax.eval.plots import dataset_sample_grid, grouped_bacc_barplot
+
+    rows = []
+    rng = np.random.default_rng(0)
+    for backbone in ("resnet-50", "davit_tiny"):
+        for mech in ("concatenation", "gfcam"):
+            for fold in range(3):
+                rows.append({
+                    "backbone": backbone, "mechanism": mech, "fold": fold,
+                    "balanced_accuracy": float(rng.uniform(0.7, 0.85)),
+                })
+    p1 = str(tmp_path / "bacc.png")
+    grouped_bacc_barplot(rows, p1)
+    assert os.path.getsize(p1) > 0
+
+    src = synthetic_source(n=8, image_size=(24, 24), num_classes=3)
+    p2 = str(tmp_path / "grid.png")
+    dataset_sample_grid(src, p2, n=8, class_names=["a", "b", "c"])
+    assert os.path.getsize(p2) > 0
+
+
+def test_confusion_from_predictions_csv(tmp_path):
+    import csv
+
+    from skinjax.eval.plots import confusion_from_predictions_csv
+
+    p = tmp_path / "preds.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["image_name", "label", "prediction", "prob_a", "prob_b"])
+        for i in range(10):
+            w.writerow([f"i{i}.png", i % 2, (i + 1) % 2, 0.4, 0.6])
+    out = str(tmp_path / "cm.png")
+    confusion_from_predictions_csv(str(p), out)
+    assert os.path.getsize(out) > 0
+
+
+def test_aggregate_cli(tmp_path, capsys):
+    import csv
+
+    from skinjax.tools.aggregate_cli import main
+
+    p = tmp_path / "model_metrics.csv"
+    rng = np.random.default_rng(1)
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["model", "fold", "balanced_accuracy",
+                                          "backbone", "mechanism"])
+        w.writeheader()
+        for model in ("m1", "m2", "m3"):
+            for fold in range(5):
+                w.writerow({
+                    "model": model, "fold": fold,
+                    "balanced_accuracy": float(rng.uniform(0.7, 0.9)),
+                    "backbone": model, "mechanism": "concatenation",
+                })
+    out = str(tmp_path / "agg")
+    main([str(p), "--out", out])
+    assert os.path.exists(os.path.join(out, "averaged_metrics.json"))
+    with open(os.path.join(out, "statistical_tests.json")) as f:
+        stats = json.load(f)
+    assert stats["friedman"] is not None and len(stats["pairwise"]) == 3
