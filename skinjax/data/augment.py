@@ -69,20 +69,34 @@ def rotate(img, angle_rad):
 
 
 def gaussian_blur(img, sigma, ksize: int = 7):
-    """Separable Gaussian blur; sigma==0 degenerates to identity."""
+    """Separable Gaussian blur; sigma==0 degenerates to identity.
+    img: (H, W, C) single image (used by tests/visualizers)."""
+    return gaussian_blur_batch(img[None], sigma, ksize)[0]
+
+
+def gaussian_blur_batch(img, sigma, ksize: int = 7):
+    """Batch separable blur via two depthwise convs (MXU-friendly; one
+    reflect pad each). img: (B, H, W, C); sigma: traced scalar."""
     r = ksize // 2
     x = jnp.arange(-r, r + 1, dtype=jnp.float32)
     sigma = jnp.maximum(sigma, 1e-6)
     k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    k = k / k.sum()
-    # (H, W, C): blur H then W via correlation with reflect padding
-    pad = [(r, r), (0, 0), (0, 0)]
-    p = jnp.pad(img, pad, mode="reflect")
-    img = sum(p[i : i + img.shape[0]] * k[i] for i in range(ksize))
-    pad = [(0, 0), (r, r), (0, 0)]
-    p = jnp.pad(img, pad, mode="reflect")
-    img = sum(p[:, i : i + img.shape[1]] * k[i] for i in range(ksize))
-    return img
+    k = (k / k.sum()).astype(img.dtype)
+    C = img.shape[-1]
+    dn = jax.lax.conv_dimension_numbers(img.shape, (ksize, 1, 1, C),
+                                        ("NHWC", "HWIO", "NHWC"))
+    kh = jnp.tile(k.reshape(ksize, 1, 1, 1), (1, 1, 1, C))
+    p = jnp.pad(img, [(0, 0), (r, r), (0, 0), (0, 0)], mode="reflect")
+    img = jax.lax.conv_general_dilated(
+        p, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=C
+    )
+    kw = jnp.tile(k.reshape(1, ksize, 1, 1), (1, 1, 1, C))
+    dn2 = jax.lax.conv_dimension_numbers(img.shape, (1, ksize, 1, C),
+                                         ("NHWC", "HWIO", "NHWC"))
+    p = jnp.pad(img, [(0, 0), (0, 0), (r, r), (0, 0)], mode="reflect")
+    return jax.lax.conv_general_dilated(
+        p, kw, (1, 1), "VALID", dimension_numbers=dn2, feature_group_count=C
+    )
 
 
 def rgb_to_hsv(img):
@@ -156,11 +170,6 @@ def _augment_one(img, key, cfg):
     img = jnp.where(jax.random.uniform(keys[2]) < cfg["p_hflip"], img[:, ::-1], img)
     img = jnp.where(jax.random.uniform(keys[3]) < cfg["p_vflip"], img[::-1], img)
 
-    # Gaussian blur, sigma ~ U(0, 2), p=0.25 (sigma gated to ~0 == identity)
-    sigma = jax.random.uniform(keys[4], (), minval=0.0, maxval=cfg["blur_sigma"])
-    sigma = sigma * (jax.random.uniform(keys[5]) < cfg["p_blur"])
-    img = gaussian_blur(img, sigma)
-
     # Coarse dropout, p=0.15
     dropped = coarse_dropout(img, keys[6])
     img = jnp.where(jax.random.uniform(keys[7]) < cfg["p_dropout"], dropped, img)
@@ -196,6 +205,26 @@ DEFAULT_CFG = dict(
 N_ROT_GROUPS = 4
 
 
+def _blur_groups(img, key, cfg):
+    """Batch-level blur: G shared sigmas, per-sample gate/group selection
+    (same TPU-shaping tradeoff as rotation: the depthwise-conv kernel is
+    shared within a group, so it runs as 2 MXU convs per group instead of a
+    per-sample vmapped shift chain)."""
+    B = img.shape[0]
+    k_sig, k_grp, k_gate = jax.random.split(key, 3)
+    sigmas = jax.random.uniform(
+        k_sig, (N_ROT_GROUPS,), minval=0.0, maxval=cfg["blur_sigma"]
+    )
+    grp = jax.random.randint(k_grp, (B,), 0, N_ROT_GROUPS)
+    gate = jax.random.uniform(k_gate, (B,)) < cfg["p_blur"]
+    out = img
+    for g in range(N_ROT_GROUPS):
+        blurred = gaussian_blur_batch(img, sigmas[g])
+        mask = (gate & (grp == g))[:, None, None, None]
+        out = jnp.where(mask, blurred, out)
+    return out
+
+
 def _rotate_groups(img, key, cfg):
     """Batch-level rotation: img (B, H, W, 3), per-sample gate + group angle."""
     B = img.shape[0]
@@ -222,8 +251,9 @@ def augment_batch(images_u8, key, train: bool = True, out_dtype=jnp.float32):
     """
     img = images_u8.astype(jnp.float32) / 255.0
     if train:
-        k_rot, k_per = jax.random.split(key)
+        k_rot, k_blur, k_per = jax.random.split(key, 3)
         img = _rotate_groups(img, k_rot, DEFAULT_CFG)
+        img = _blur_groups(img, k_blur, DEFAULT_CFG)
         keys = jax.random.split(k_per, img.shape[0])
         img = jax.vmap(lambda im, k: _augment_one(im, k, DEFAULT_CFG))(img, keys)
     img = (img - IMAGENET_MEAN) / IMAGENET_STD
