@@ -38,7 +38,11 @@ class EarlyStopping:
         self.best_state: Any = None
 
     def __call__(self, *, val_loss: float, val_bacc: float, state: Any) -> bool:
-        """Record an epoch result; returns True if this epoch improved."""
+        """Record an epoch result; returns True if this epoch improved.
+
+        ``state`` may be the state itself or a zero-arg callable returning it
+        (a lazy snapshot — only materialized on improvement, e.g. a host copy
+        that protects the retained best from donated device buffers)."""
         score = -float(val_loss) if self.metric_name == "val_loss" else float(val_bacc)
         if self.best_score is not None and score < self.best_score + self.delta:
             self.counter += 1
@@ -51,7 +55,7 @@ class EarlyStopping:
                 self.early_stop = True
             return False
         self.best_score = score
-        self.best_state = state
+        self.best_state = state() if callable(state) else state
         self.counter = 0
         if self.on_improvement is not None:
             self.on_improvement(state)

@@ -112,7 +112,11 @@ def train_process(
     config: TrainConfig = TrainConfig(),
     tracker=None,
     fold_num: int = 0,
+    resume_dir: Optional[str] = None,
 ) -> Tuple[TrainState, Dict, Dict[str, List[float]]]:
+    """``resume_dir``: if set, checkpoints (params+opt_state+step+epoch) are
+    written there each epoch and training resumes from the latest one — true
+    mid-training resume, which the reference lacks (SURVEY.md §5)."""
     cfg = config
     rng = jax.random.key(cfg.seed)
 
@@ -151,9 +155,23 @@ def train_process(
     history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
     step_rng = jax.random.fold_in(rng, 1)
 
+    start_epoch = 0
+    if resume_dir:
+        import os
+
+        from skinjax.train.checkpoint import restore_checkpoint, save_checkpoint
+
+        marker = os.path.join(resume_dir, "epoch.txt")
+        ckpt_dir = os.path.join(resume_dir, "latest")
+        if os.path.exists(marker) and os.path.exists(ckpt_dir):
+            with open(marker) as f:
+                start_epoch = int(f.read().strip()) + 1
+            state = restore_checkpoint(ckpt_dir, state)
+            print(f"[resume] continuing from epoch {start_epoch}")
+
     t0 = time.time()
-    epoch = 0
-    for epoch in range(cfg.num_epochs):
+    epoch = start_epoch
+    for epoch in range(start_epoch, cfg.num_epochs):
         batches = epoch_batches(
             train_source.labels,
             num_classes,
@@ -197,11 +215,23 @@ def train_process(
                 step=epoch + 1,
             )
 
+        # Snapshot to host before retaining: the jitted train step donates its
+        # input state buffers, so a device-resident "best" snapshot would be
+        # invalidated by the next epoch's first step. Host copy == the
+        # reference's state_dict deepcopy (early_stopping.py:63).
         early(
             val_loss=val_loss,
             val_bacc=float(metrics["balanced_accuracy"]),
-            state=state,
+            state=lambda s=state: jax.device_get(s),
         )
+        if resume_dir:
+            import os
+
+            from skinjax.train.checkpoint import save_checkpoint
+
+            save_checkpoint(os.path.join(resume_dir, "latest"), state)
+            with open(os.path.join(resume_dir, "epoch.txt"), "w") as f:
+                f.write(str(epoch))
         if early.early_stop:
             break
 
