@@ -38,11 +38,15 @@ class DatasetSpec:
     image_col: str
     drop_cols: Sequence[str]
     numerical_cols: Sequence[str]  # () means "infer from dtypes"
+    categorical_cols: Sequence[str] = ()  # () means "everything not numeric"
     group_col: Optional[str] = None  # patient/lesion grouping for CV splits
     image_suffix: str = ""
     scale_numerics: bool = True
     type_of_problem: str = "multiclass"  # or "binaryclass"
     clean: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None
+    # optional derived-label hook (e.g. MIDAS: midas_path startswith
+    # 'malignant'); receives the cleaned frame, returns string labels
+    label_fn: Optional[Callable[[pd.DataFrame], np.ndarray]] = None
 
 
 def _clean_pad20(df: pd.DataFrame) -> pd.DataFrame:
@@ -62,6 +66,25 @@ def _clean_default(df: pd.DataFrame) -> pd.DataFrame:
 def _clean_pad25(df: pd.DataFrame) -> pd.DataFrame:
     df = df[df.get("img-src", "CLINICAL") == "CLINICAL"].copy() if "img-src" in df else df
     return df.fillna(EMPTY)
+
+
+MILK10K_MALIGNANT = {"MEL", "BCC", "SCCKA", "AKIEC", "MAL_OTH"}
+MILK10K_BENIGN = {"NV", "BKL", "DF", "VASC", "BEN_OTH", "INF"}
+
+
+def milk10k_labels(df: pd.DataFrame, type_of_problem: str = "binaryclass") -> np.ndarray:
+    """Labels from the merged ground-truth one-hot diagnosis columns
+    (skinLesionDatasetsMILK10K.py:216-264): multiclass argmax or
+    binary any-malignant."""
+    diag = [c for c in df.columns
+            if c in MILK10K_MALIGNANT or c in MILK10K_BENIGN]
+    if not diag:
+        raise KeyError("Nenhuma coluna de diagnóstico encontrada no ground truth!")
+    y = df[diag].apply(pd.to_numeric, errors="coerce").fillna(0).to_numpy(float)
+    if type_of_problem == "multiclass":
+        return np.asarray([diag[i] for i in y.argmax(axis=1)])
+    mal_idx = [i for i, c in enumerate(diag) if c in MILK10K_MALIGNANT]
+    return np.where(y[:, mal_idx].sum(axis=1) > 0, "MALIGNANT", "BENIGN")
 
 
 SPECS: Dict[str, DatasetSpec] = {
@@ -109,31 +132,59 @@ SPECS: Dict[str, DatasetSpec] = {
         name="derm7pt",
         label_col="diagnosis",
         image_col="derm",  # or "clinic" — selected via image_col override
-        drop_cols=("case_num", "derm", "clinic", "diagnosis"),
-        numerical_cols=(),
+        # skinLesionDatasetsDERM7PT.py:165-186 ignore/numeric lists
+        drop_cols=("case_num", "case_id", "clinic", "derm", "notes", "split",
+                   "diagnosis", "diagnosis_number"),
+        numerical_cols=(
+            "seven_point_score", "pigment_network_number", "streaks_number",
+            "pigmentation_number", "regression_structures_number",
+            "dots_and_globules_number", "blue_whitish_veil_number",
+            "vascular_structures_number",
+        ),
         group_col="case_num",
         clean=_clean_default,
     ),
     "midas": DatasetSpec(
         name="midas",
-        label_col="midas_category",
+        label_col="midas_path",  # derived binary label (see label_fn)
         image_col="midas_file_name",
-        drop_cols=("midas_file_name", "midas_record_id", "midas_category"),
+        drop_cols=(),
+        # skinLesionDatasetsMIDAS.py:109-115 explicit feature lists
         numerical_cols=("midas_age", "length_mm", "width_mm"),
+        categorical_cols=(
+            "midas_gender", "midas_fitzpatrick", "midas_ethnicity", "midas_race",
+            "midas_location", "midas_melanoma", "midas_distance",
+            "clinical_impression_1", "clinical_impression_2",
+            "clinical_impression_3",
+        ),
         group_col="midas_record_id",
         type_of_problem="binaryclass",
         clean=_clean_default,
+        # skinLesionDatasetsMIDAS.py:122-126: malignant iff midas_path
+        # startswith 'malignant'
+        label_fn=lambda df: np.where(
+            df["midas_path"].astype(str).str.lower().str.startswith("malignant"),
+            "malignant", "benign",
+        ),
     ),
     "milk10k": DatasetSpec(
         name="milk10k",
-        label_col="target",
+        label_col="target",  # derived from the one-hot ground-truth columns
         image_col="isic_id",
-        drop_cols=("isic_id", "lesion_id", "target"),
-        numerical_cols=("age_approx",),
+        # skinLesionDatasetsMILK10K.py:153-183 feature lists
+        drop_cols=("image_type", "attribution", "copyright_license"),
+        numerical_cols=(
+            "age_approx", "MONET_ulceration_crust", "MONET_hair",
+            "MONET_vasculature_vessels", "MONET_erythema", "MONET_pigmented",
+            "MONET_gel_water_drop_fluid_dermoscopy_liquid",
+            "MONET_skin_markings_pen_ink_purple_pen",
+        ),
+        categorical_cols=("image_manipulation", "sex", "skin_tone_class", "site"),
         group_col="lesion_id",
         image_suffix=".jpg",
         type_of_problem="binaryclass",
         clean=_clean_default,
+        label_fn=lambda df: milk10k_labels(df, "binaryclass"),
     ),
     "skindisnet": DatasetSpec(
         name="skindisnet",
@@ -191,21 +242,39 @@ def prepare_dataset(
     img_col = image_col or spec.image_col
     lbl_col = label_col or spec.label_col
 
-    feature_df = df.drop(columns=[c for c in spec.drop_cols if c in df.columns])
-    if spec.numerical_cols:
-        numerical = [c for c in spec.numerical_cols if c in feature_df.columns]
-    else:  # dtype-inferred split (ISIC path)
-        numerical = list(
-            feature_df.select_dtypes(include=["float64", "int64"]).columns
-        )
-    categorical = [c for c in feature_df.columns if c not in numerical]
+    if spec.categorical_cols:
+        # explicit feature lists (MIDAS/MILK10K style) — missing columns are
+        # materialized as EMPTY/-1 (reference parity)
+        feature_df = df.copy()
+        numerical = list(spec.numerical_cols)
+        categorical = list(spec.categorical_cols)
+        for c in categorical:
+            if c not in feature_df.columns:
+                feature_df[c] = EMPTY
+        for c in numerical:
+            if c not in feature_df.columns:
+                feature_df[c] = np.nan
+        feature_df = feature_df[categorical + numerical]
+    else:
+        feature_df = df.drop(columns=[c for c in spec.drop_cols if c in df.columns])
+        if spec.numerical_cols:
+            numerical = [c for c in spec.numerical_cols if c in feature_df.columns]
+        else:  # dtype-inferred split (ISIC path)
+            numerical = list(
+                feature_df.select_dtypes(include=["float64", "int64"]).columns
+            )
+        categorical = [c for c in feature_df.columns if c not in numerical]
 
     feature_df[categorical] = feature_df[categorical].astype(str)
     for c in numerical:
         feature_df[c] = pd.to_numeric(feature_df[c], errors="coerce").fillna(-1)
 
     table = {c: feature_df[c].to_numpy() for c in feature_df.columns}
-    labels_raw = df[lbl_col].astype(str).to_numpy()
+    labels_raw = (
+        np.asarray(spec.label_fn(df)).astype(str)
+        if spec.label_fn is not None
+        else df[lbl_col].astype(str).to_numpy()
+    )
 
     import os
 
