@@ -61,10 +61,28 @@ def _clean_default(df: pd.DataFrame) -> pd.DataFrame:
     return df.fillna(EMPTY)
 
 
-# PAD-25 macro-CID cluster mapping (skinLesionDatasetsPAD2025.py:72-155 maps
-# CID ids onto macro diagnostic clusters before encoding).
+# PAD-25 macro-CID cluster map (skinLesionDatasetsPAD2025.py:30-40): CID
+# diagnostic codes collapse to macro clusters; unmapped codes are dropped
+# (convert_ids_labels, :156-160). PAD-25 also normalizes extra sentinel
+# strings (load_metadata, :116-133).
+PAD25_CLUSTER_TARGETS = {
+    "C43": "MEL", "D03": "MEL", "D22": "NEVO", "C80": "CBC", "C44": "CEC",
+    "D04": "CEC", "L57": "ACT", "L78": "NEVO", "L82": "SEBO",
+}
+
+
 def _clean_pad25(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[df.get("img-src", "CLINICAL") == "CLINICAL"].copy() if "img-src" in df else df
+    if "img-src" in df:
+        df = df[df["img-src"] == "CLINICAL"].copy()
+    df = df.replace(
+        {"NAO PREENCHIDO": EMPTY, "NÃO  ENCONTRADO": EMPTY, "BRASIL": "BRAZIL",
+         " ": EMPTY, "  ": EMPTY}
+    )
+    if "macroCIDDiagnostic" in df:
+        df["macroCIDDiagnostic"] = df["macroCIDDiagnostic"].map(
+            PAD25_CLUSTER_TARGETS
+        )
+        df = df.dropna(subset=["macroCIDDiagnostic"])
     return df.fillna(EMPTY)
 
 

@@ -180,6 +180,89 @@ def import_multimodal_checkpoint(
     return params, stats
 
 
+def import_densenet(
+    sd: Dict[str, np.ndarray],
+    block_config: Sequence[int] = (6, 12, 32, 32),
+    prefix: str = "",
+) -> Tuple[Dict, Dict]:
+    """torchvision DenseNet (features.conv0/norm0, denseblock{k}.denselayer{j},
+    transition{k}, norm5) -> skinjax cnn_zoo.DenseNet (params, batch_stats)."""
+    P = lambda s: f"{prefix}features.{s}"
+    params: Dict = {}
+    stats: Dict = {}
+    params["conv0"] = t2f_conv(sd, P("conv0"))
+    bnp, bns = t2f_bn(sd, P("norm0"))
+    params["norm0"], stats["norm0"] = bnp, bns
+    for bi, n_layers in enumerate(block_config):
+        for li in range(n_layers):
+            src = f"denseblock{bi + 1}.denselayer{li + 1}"
+            dst = f"block{bi}_layer{li}"
+            n1p, n1s = t2f_bn(sd, P(f"{src}.norm1"))
+            n2p, n2s = t2f_bn(sd, P(f"{src}.norm2"))
+            params[dst] = {
+                "norm1": n1p, "conv1": t2f_conv(sd, P(f"{src}.conv1")),
+                "norm2": n2p, "conv2": t2f_conv(sd, P(f"{src}.conv2")),
+            }
+            stats[dst] = {"norm1": n1s, "norm2": n2s}
+        if bi != len(block_config) - 1:
+            tp, ts = t2f_bn(sd, P(f"transition{bi + 1}.norm"))
+            params[f"trans{bi}_norm"], stats[f"trans{bi}_norm"] = tp, ts
+            params[f"trans{bi}_conv"] = t2f_conv(sd, P(f"transition{bi + 1}.conv"))
+    fp, fs = t2f_bn(sd, P("norm5"))
+    params["norm_final"], stats["norm_final"] = fp, fs
+    return params, stats
+
+
+def import_vgg16(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """torchvision VGG16 (features.{0,2,5,7,10,12,14,17,19,21,24,26,28} convs,
+    classifier.{0,3} kept after the reference strips classifier[-1],
+    loadImageModelClassifier.py:78-82) -> skinjax cnn_zoo.VGG16 params."""
+    conv_layers = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {}
+    for i, li in enumerate(conv_layers):
+        params[f"conv{i}"] = t2f_conv(sd, P(f"features.{li}"))
+    params["fc1"] = t2f_linear(sd, P("classifier.0"))
+    params["fc2"] = t2f_linear(sd, P("classifier.3"))
+    return params
+
+
+def import_vit(sd: Dict[str, np.ndarray], depth: int, dim: int,
+               prefix: str = "") -> Dict:
+    """timm ViT (patch_embed.proj, cls_token, pos_embed, blocks.N.{norm1,
+    attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}, norm) -> skinjax vit.ViT."""
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {
+        "patch_embed": {
+            "kernel": np.ascontiguousarray(
+                sd[P("patch_embed.proj.weight")].transpose(2, 3, 1, 0)
+            ),
+            "bias": sd[P("patch_embed.proj.bias")],
+        },
+        "cls_token": sd[P("cls_token")],
+        "pos_embed": sd[P("pos_embed")],
+        "norm": t2f_ln(sd, P("norm")),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        qkv_w = sd[P(f"{b}.attn.qkv.weight")]
+        qkv_b = sd[P(f"{b}.attn.qkv.bias")]
+        mk = lambda W, bb: {"kernel": np.ascontiguousarray(W.T), "bias": bb}
+        params[f"block{i}"] = {
+            "norm1": t2f_ln(sd, P(f"{b}.norm1")),
+            "attn": {
+                "q_proj": mk(qkv_w[:dim], qkv_b[:dim]),
+                "k_proj": mk(qkv_w[dim : 2 * dim], qkv_b[dim : 2 * dim]),
+                "v_proj": mk(qkv_w[2 * dim :], qkv_b[2 * dim :]),
+                "out_proj": t2f_linear(sd, P(f"{b}.attn.proj")),
+            },
+            "norm2": t2f_ln(sd, P(f"{b}.norm2")),
+            "mlp_in": t2f_linear(sd, P(f"{b}.mlp.fc1")),
+            "mlp_out": t2f_linear(sd, P(f"{b}.mlp.fc2")),
+        }
+    return params
+
+
 def filter_to_template(tree: Dict, template: Dict) -> Dict:
     """Prune an imported tree to the keys a model actually initializes (the
     reference instantiates every fusion submodule but each mechanism only
