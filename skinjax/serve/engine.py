@@ -28,7 +28,11 @@ from skinjax.data.featurizer import MetadataFeaturizer
 from skinjax.models.fusion.multimodal import _RGATT, MultimodalModel
 from skinjax.ops.pallas import fusion_kernels as fk
 
-FUSED_MECHANISMS = ("concatenation", "crossattention", "weighted", _RGATT)
+FUSED_MECHANISMS = (
+    "concatenation", "crossattention", "weighted", "gfcam",
+    "cross-weights-after-crossattention", "metablock", "rg-att",
+    "cross-attention-only", _RGATT, _RGATT + "+metablock",
+)
 
 
 def preprocess_image(image_u8: np.ndarray, size=(224, 224)) -> np.ndarray:
@@ -69,46 +73,87 @@ class InferenceEngine:
         logits = self.model.apply(self.variables, image, metadata)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    def _towers(self, image, metadata):
+    def _towers(self, image, metadata, project: bool = True):
         bound = self.model.bind(self.variables)
         img_feat = bound.image_encoder(image)
         if img_feat.ndim == 4:
             img_feat = img_feat.mean(axis=(1, 2))
         elif img_feat.ndim == 3:
             img_feat = img_feat[:, 0]
-        proj_img = bound.image_projector(img_feat)
         txt_feat = bound.text_tower(metadata)
+        if not project:  # metablock fuses raw tower features; the projector
+            return img_feat, txt_feat, None, None  # params don't exist there
+        proj_img = bound.image_projector(img_feat)
         proj_txt = bound.text_projector(txt_feat)
-        return proj_img, proj_txt
+        return img_feat, txt_feat, proj_img, proj_txt
 
     def _fused_forward(self, image, metadata):
         p = self.variables["params"]
         mech = self.model.attention_mechanism
-        proj_img, proj_txt = self._towers(image, metadata)
+        img_feat, txt_feat, proj_img, proj_txt = self._towers(
+            image, metadata, project=mech != "metablock"
+        )
+
+        def gate(x, name):
+            return jax.nn.sigmoid(x @ p[name]["kernel"] + p[name]["bias"])
+
+        self_att = lambda: (
+            fk.seq1_attention(proj_img, *fk.mha_args(p["image_self_attention"])),
+            fk.seq1_attention(proj_txt, *fk.mha_args(p["text_self_attention"])),
+        )
+
+        if mech == "metablock":
+            fused = fk.metablock_film(img_feat, txt_feat,
+                                      *fk.metablock_args(p["meta_block"]))
+            logits = fk.mlp_head(fused, *fk.mlp_head_args(p["fc_after_metablock"]))
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         if mech == "concatenation":
             fused = jnp.concatenate([proj_img, proj_txt], axis=-1)
         elif mech == "weighted":
-            a_i = jax.nn.sigmoid(proj_img @ p["img_gate"]["kernel"] + p["img_gate"]["bias"])
-            a_t = jax.nn.sigmoid(proj_txt @ p["txt_gate"]["kernel"] + p["txt_gate"]["bias"])
-            fused = jnp.concatenate([a_i * proj_img, a_t * proj_txt], axis=-1)
-        elif mech == "crossattention":
-            img_att = fk.seq1_attention(proj_img, *fk.mha_args(p["image_self_attention"]))
-            txt_att = fk.seq1_attention(proj_txt, *fk.mha_args(p["text_self_attention"]))
+            fused = jnp.concatenate(
+                [gate(proj_img, "img_gate") * proj_img,
+                 gate(proj_txt, "txt_gate") * proj_txt], axis=-1,
+            )
+        elif mech == "cross-attention-only":
+            img_x = fk.seq1_attention(proj_txt, *fk.mha_args(p["image_cross_attention"]))
+            txt_x = fk.seq1_attention(proj_img, *fk.mha_args(p["text_cross_attention"]))
+            fused = jnp.concatenate([img_x, txt_x], axis=-1)
+        elif mech == "rg-att":
+            img_r = fk.gated_residual_seq1(
+                proj_img, proj_txt, *fk.grb_args(p["image_residual"]))
+            txt_r = fk.gated_residual_seq1(
+                proj_txt, proj_img, *fk.grb_args(p["text_residual"]))
+            fused = jnp.concatenate([img_r, txt_r], axis=-1)
+        elif mech in ("crossattention", "gfcam", "cross-weights-after-crossattention"):
+            img_att, txt_att = self_att()
             img_x = fk.seq1_attention(txt_att, *fk.mha_args(p["image_cross_attention"]))
             txt_x = fk.seq1_attention(img_att, *fk.mha_args(p["text_cross_attention"]))
-            fused = jnp.concatenate([img_x, txt_x], axis=-1)
-        else:  # RG-ATT
-            img_att = fk.seq1_attention(proj_img, *fk.mha_args(p["image_self_attention"]))
-            txt_att = fk.seq1_attention(proj_txt, *fk.mha_args(p["text_self_attention"]))
+            if mech == "crossattention":
+                fused = jnp.concatenate([img_x, txt_x], axis=-1)
+            else:
+                a_i = gate(img_x, "img_gate")
+                a_t = gate(txt_x, "txt_gate")
+                if mech == "gfcam":
+                    fused = jnp.concatenate([a_i * img_x, a_t * txt_x], axis=-1)
+                else:  # swapped gates
+                    fused = jnp.concatenate([a_t * img_x, a_i * txt_x], axis=-1)
+        else:  # RG-ATT family
+            img_att, txt_att = self_att()
             img_r = fk.gated_residual_seq1(
-                proj_img, img_att, *fk.grb_args(p["image_residual"])
-            )
+                proj_img, img_att, *fk.grb_args(p["image_residual"]))
             txt_r = fk.gated_residual_seq1(
-                proj_txt, txt_att, *fk.grb_args(p["text_residual"])
-            )
+                proj_txt, txt_att, *fk.grb_args(p["text_residual"]))
             img_x = fk.seq1_attention(txt_r, *fk.mha_args(p["image_cross_attention"]))
             txt_x = fk.seq1_attention(img_r, *fk.mha_args(p["text_cross_attention"]))
+            if mech.endswith("+metablock"):
+                fused = fk.metablock_film(img_x, txt_x,
+                                          *fk.metablock_args(p["meta_block"]))
+                logits = (
+                    fused @ p["fc_fusion_proj_feat2output"]["kernel"]
+                    + p["fc_fusion_proj_feat2output"]["bias"]
+                )
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             fused = jnp.concatenate([img_x, txt_x], axis=-1)
 
         logits = fk.mlp_head(fused, *fk.mlp_head_args(p["fc_fusion"]))

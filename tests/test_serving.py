@@ -42,8 +42,11 @@ def _engine(mech, use_fused):
 
 @pytest.mark.parametrize(
     "mech",
-    ["concatenation", "crossattention", "weighted",
-     "att-intramodal+residual+cross-attention-metadados"],
+    ["concatenation", "crossattention", "weighted", "gfcam",
+     "cross-weights-after-crossattention", "metablock", "rg-att",
+     "cross-attention-only",
+     "att-intramodal+residual+cross-attention-metadados",
+     "att-intramodal+residual+cross-attention-metadados+metablock"],
 )
 def test_fused_engine_matches_plain(mech):
     rng = np.random.default_rng(0)
