@@ -1,5 +1,11 @@
 """NAS search drivers: REINFORCE / Bayesian-opt / LLM / random over DynamicCNN.
 
+The reference's 'controller-val-loss' variant
+(nas/optimization_for_controller-val-loss_train_process_pad_20.py) differs
+from the base REINFORCE loop only in the candidate trainer's early-stopping
+metric (val_loss instead of val_bacc) — here that's
+``TrainConfig(early_stopping_metric="val_loss")`` passed as ``train_cfg``.
+
 The loop skeleton of nas/optimization_train_process_pad_20.py:220-389: 80/20
 stratified split (seed 42), per-step candidate training via the standard
 train_process (early stop on val_bacc), reward = balanced accuracy (failed

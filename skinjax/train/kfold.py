@@ -57,8 +57,10 @@ def run_kfold(
     tracker=None,
     save_checkpoints: bool = False,
     folds: Optional[Sequence[int]] = None,
+    resume: bool = False,
 ) -> List[Dict]:
-    """Returns the list of per-fold final metric dicts."""
+    """Returns the list of per-fold final metric dicts. ``resume=True`` gives
+    each fold a checkpoint dir under results_dir for mid-training restart."""
     if groups is not None:
         split_iter = stratified_group_kfold(labels, groups, k_folds, seed=config.seed)
     else:
@@ -80,6 +82,10 @@ def run_kfold(
             config=config,
             tracker=tracker,
             fold_num=fold_num,
+            resume_dir=(
+                os.path.join(results_dir, f"{model_name}_fold_{fold_num}", "resume")
+                if resume else None
+            ),
         )
 
         fold_dir = os.path.join(results_dir, f"{model_name}_fold_{fold_num}")

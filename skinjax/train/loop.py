@@ -79,7 +79,7 @@ def evaluate(
     n = len(source)
     n_batches = -(-n // batch_size)
     probs_out = np.zeros((n, num_classes), dtype=np.float32)
-    losses: List[float] = []
+    logits_out = np.zeros((n, num_classes), dtype=np.float32)
     for b in range(n_batches):
         idx = np.arange(b * batch_size, (b + 1) * batch_size) % n
         batch = source.batch(idx)
@@ -88,19 +88,22 @@ def evaluate(
             jnp.asarray(batch["image"]),
             jax.tree_util.tree_map(jnp.asarray, batch["metadata"]),
         )
-        logits = np.asarray(logits)
-        if loss_fn is not None:
-            # per-batch loss on the wrapped batch (matches reference's
-            # per-loader-batch mean, train_pad_20.py:121-128)
-            losses.append(
-                float(loss_fn(jnp.asarray(logits), jnp.asarray(batch["label"])))
-            )
-        p = jax.nn.softmax(jnp.asarray(logits), axis=-1)
-        probs_out[idx] = np.asarray(p, dtype=np.float32)
+        logits = np.asarray(logits, dtype=np.float32)
+        logits_out[idx] = logits  # wrap-duplicates overwrite identically
+        probs_out[idx] = np.asarray(
+            jax.nn.softmax(jnp.asarray(logits), axis=-1), dtype=np.float32
+        )
     labels = source.labels[:n]
     preds = probs_out.argmax(axis=1)
     metrics = classification_metrics(labels, preds, probs_out, num_classes)
-    mean_loss = float(np.mean(losses)) if losses else float("nan")
+    # exact dataset-mean loss over deduplicated logits (the reference averages
+    # per-loader-batch means, train_pad_20.py:121-128 — identical up to the
+    # last-batch weighting its drop_last=False loader introduces)
+    mean_loss = (
+        float(loss_fn(jnp.asarray(logits_out), jnp.asarray(labels)))
+        if loss_fn is not None
+        else float("nan")
+    )
     return metrics, labels, preds, probs_out, mean_loss
 
 
