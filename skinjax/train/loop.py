@@ -160,16 +160,33 @@ def train_process(
 
     start_epoch = 0
     if resume_dir:
+        import json
         import os
 
-        from skinjax.train.checkpoint import restore_checkpoint, save_checkpoint
+        from skinjax.train.checkpoint import restore_checkpoint
 
-        marker = os.path.join(resume_dir, "epoch.txt")
+        marker = os.path.join(resume_dir, "progress.json")
+        legacy_marker = os.path.join(resume_dir, "epoch.txt")
         ckpt_dir = os.path.join(resume_dir, "latest")
-        if os.path.exists(marker) and os.path.exists(ckpt_dir):
-            with open(marker) as f:
-                start_epoch = int(f.read().strip()) + 1
+        if os.path.exists(ckpt_dir) and (
+            os.path.exists(marker) or os.path.exists(legacy_marker)
+        ):
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    prog = json.load(f)
+            else:
+                with open(legacy_marker) as f:
+                    prog = {"epoch": int(f.read().strip())}
+            start_epoch = int(prog["epoch"]) + 1
             state = restore_checkpoint(ckpt_dir, state)
+            # restore scheduler/early-stopping trajectory
+            plateau.lr = prog.get("plateau_lr", plateau.lr)
+            plateau.best = prog.get("plateau_best", plateau.best)
+            plateau.num_bad = prog.get("plateau_num_bad", plateau.num_bad)
+            early.best_score = prog.get("early_best_score", early.best_score)
+            early.counter = prog.get("early_counter", early.counter)
+            history["train_loss"] = list(prog.get("train_loss", []))
+            history["val_loss"] = list(prog.get("val_loss", []))
             print(f"[resume] continuing from epoch {start_epoch}")
 
     t0 = time.time()
@@ -228,13 +245,23 @@ def train_process(
             state=lambda s=state: jax.device_get(s),
         )
         if resume_dir:
+            import json
             import os
 
             from skinjax.train.checkpoint import save_checkpoint
 
             save_checkpoint(os.path.join(resume_dir, "latest"), state)
-            with open(os.path.join(resume_dir, "epoch.txt"), "w") as f:
-                f.write(str(epoch))
+            with open(os.path.join(resume_dir, "progress.json"), "w") as f:
+                json.dump({
+                    "epoch": epoch,
+                    "plateau_lr": plateau.lr,
+                    "plateau_best": plateau.best,
+                    "plateau_num_bad": plateau.num_bad,
+                    "early_best_score": early.best_score,
+                    "early_counter": early.counter,
+                    "train_loss": history["train_loss"],
+                    "val_loss": history["val_loss"],
+                }, f)
         if early.early_stop:
             break
 

@@ -32,14 +32,22 @@ def test_mid_training_resume(tmp_path):
 
     # run 2 epochs with checkpointing
     s1, m1, h1 = train_process(_model(), train, val, 3, config=cfg, resume_dir=rd)
-    assert os.path.exists(os.path.join(rd, "epoch.txt"))
+    assert os.path.exists(os.path.join(rd, "progress.json"))
 
     # "crash" and resume with a higher epoch budget: must start at epoch 2
     cfg4 = TrainConfig(num_epochs=4, batch_size=16, image_dtype="float32",
                        augment=False)
     s2, m2, h2 = train_process(_model(), train, val, 3, config=cfg4, resume_dir=rd)
-    assert len(h2["train_loss"]) == 2  # only epochs 2..3 ran
-    assert int(open(os.path.join(rd, "epoch.txt")).read()) == 3
+    # history = 2 restored epochs + 2 newly-run epochs
+    assert len(h2["train_loss"]) == 4
+    assert h2["train_loss"][:2] == h1["train_loss"]
+
+    import json
+
+    with open(os.path.join(rd, "progress.json")) as f:
+        prog = json.load(f)
+    assert prog["epoch"] == 3
+    assert "plateau_lr" in prog and "early_counter" in prog
 
 
 def test_folds_for_this_host():
