@@ -42,10 +42,29 @@ def trainable_mask(params, mode: str, frozen_prefixes: Sequence[str] = ("image_e
             p.key if hasattr(p, "key") else str(p) for p in path
         )
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    frozen_paths = [path_str(p) for p, _ in flat if any(
-        path_str(p).startswith(fp) for fp in frozen_prefixes
-    )]
+    def insertion_order_paths(tree, prefix=""):
+        """Leaf paths in dict-insertion order == module creation order (the
+        torch parameter-order analogue; jax tree_flatten sorts keys, which
+        would misidentify the 'last' layer)."""
+        out = []
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                out.extend(insertion_order_paths(v, f"{prefix}{k}/"))
+        else:
+            out.append(prefix.rstrip("/"))
+        return out
+
+    last_module = None
+    if mode == "last_layer_unfrozen_weights":
+        ordered = [
+            p for p in insertion_order_paths(params)
+            if any(p.startswith(fp) for fp in frozen_prefixes)
+        ]
+        if ordered:
+            # the reference unfreezes params[-2:] (weight+bias of the final
+            # layer, loadImageModelClassifier.py:28-33) — unfreeze the module
+            # owning the last created leaf
+            last_module = ordered[-1].rsplit("/", 1)[0]
 
     def leaf_mask(path, leaf):
         s = path_str(path)
@@ -57,13 +76,7 @@ def trainable_mask(params, mode: str, frozen_prefixes: Sequence[str] = ("image_e
         if mode == "frozen_weights":
             return False
         if mode == "last_layer_unfrozen_weights":
-            # unfreeze the last parametrized layer of the backbone: emulate the
-            # reference's params[-2:] heuristic by unfreezing the lexically
-            # last module path
-            if not frozen_paths:
-                return True
-            last_module = sorted(frozen_paths)[-1].rsplit("/", 1)[0]
-            return s.startswith(last_module)
+            return last_module is not None and s.startswith(last_module)
         if mode == "partial":
             return any(m in s for m in LAST_STAGE_MARKERS if "{" not in m)
         raise ValueError(f"Invalid backbone_train_mode: {mode}")

@@ -70,6 +70,16 @@ def test_trainable_mask_modes():
     unfrozen = trainable_mask(params, "unfrozen_weights")
     assert all(v for _, v in jax.tree_util.tree_leaves_with_path(unfrozen))
 
+    # last_layer mode: exactly the final created backbone module (the
+    # reference's params[-2:] heuristic = layer4_1's last BN scale/bias)
+    last = trainable_mask(params, "last_layer_unfrozen_weights")
+    unfrozen_backbone = [
+        jax.tree_util.keystr(p)
+        for p, v in jax.tree_util.tree_leaves_with_path(last)
+        if v and "image_encoder" in jax.tree_util.keystr(p)
+    ]
+    assert unfrozen_backbone and all("layer4_1" in s for s in unfrozen_backbone)
+
     partial = trainable_mask(params, "partial")
     be_partial = [
         (jax.tree_util.keystr(p), v)
