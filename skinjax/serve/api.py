@@ -34,7 +34,11 @@ def _parse_multipart(body: bytes, content_type: str):
         if b"\r\n\r\n" not in part:
             continue
         head, _, payload = part.partition(b"\r\n\r\n")
-        payload = payload.rstrip(b"\r\n-")
+        # each part's payload is terminated by exactly CRLF before the next
+        # boundary marker (don't rstrip byte classes — binary payloads may
+        # legitimately end in '-', '\r' or '\n')
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
         nm = re.search(rb'name="([^"]+)"', head)
         if nm:
             fields[nm.group(1).decode()] = payload
