@@ -171,11 +171,14 @@ def prefetch_batches(
     a daemon thread ahead of consumption."""
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = object()
+    error: list = []
 
     def worker():
         try:
             for row in index_matrix:
                 q.put(source.batch(row))
+        except BaseException as e:  # surface loader failures to the consumer
+            error.append(e)
         finally:
             q.put(stop)
 
@@ -183,5 +186,7 @@ def prefetch_batches(
     while True:
         item = q.get()
         if item is stop:
+            if error:
+                raise error[0]
             return
         yield item

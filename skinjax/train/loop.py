@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from skinjax.data.pipeline import prefetch_batches
 from skinjax.data.sampling import compute_class_weights, epoch_batches
 from skinjax.train.early_stopping import EarlyStopping
 from skinjax.train.losses import make_loss_fn
@@ -200,9 +201,11 @@ def train_process(
             epoch=epoch,
             weighted=cfg.weighted_sampling,
         )
-        running = 0.0
-        for bi, row in enumerate(batches):
-            batch = train_source.batch(row)
+        # Per-batch losses stay on device: forcing float(loss) every step
+        # would block the host on the async dispatch queue and serialize
+        # batch assembly with device compute. One sync per epoch instead.
+        epoch_losses = []
+        for bi, batch in enumerate(prefetch_batches(train_source, batches)):
             state, loss = train_step(
                 state,
                 jnp.asarray(batch["image"]),
@@ -210,10 +213,12 @@ def train_process(
                 jnp.asarray(batch["label"]),
                 step_rng,
             )
-            running += float(loss)
+            epoch_losses.append(loss)
             if tracker and cfg.log_every and (bi + 1) % cfg.log_every == 0:
                 tracker.log_metric("batch_loss", float(loss), step=int(state.step))
-        train_loss = running / max(len(batches), 1)
+        train_loss = (
+            float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
+        )
 
         metrics, _, _, _, val_loss = evaluate(
             eval_step, state, val_source, cfg.batch_size, num_classes, loss_fn
