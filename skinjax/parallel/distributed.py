@@ -34,6 +34,10 @@ def distribute_state(mesh: Mesh, state: TrainState, min_tp_dim: int = 1024) -> T
     )
 
 
-def shard_batch(mesh: Mesh, batch: Dict[str, "jax.Array"]) -> Dict[str, "jax.Array"]:
+def shard_batch(mesh: Mesh, batch) -> Dict[str, "jax.Array"]:
+    """Shard every leaf's leading (batch) axis over the data axis. Works on
+    nested pytrees (token/tabular metadata dicts)."""
     sh = NamedSharding(mesh, P("data"))
-    return {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+    return jax.tree_util.tree_map(
+        lambda v: jax.device_put(jnp.asarray(v), sh), batch
+    )

@@ -70,6 +70,7 @@ def evaluate(
     batch_size: int,
     num_classes: int,
     loss_fn: Optional[Callable] = None,
+    put_batch: Optional[Callable] = None,
 ) -> Tuple[Dict, np.ndarray, np.ndarray, np.ndarray, float]:
     """Single full pass; static batch shapes via wrap-padding (duplicates are
     idempotent writes into the per-sample output arrays).
@@ -84,11 +85,13 @@ def evaluate(
     for b in range(n_batches):
         idx = np.arange(b * batch_size, (b + 1) * batch_size) % n
         batch = source.batch(idx)
-        logits = eval_step(
-            state,
-            jnp.asarray(batch["image"]),
-            jax.tree_util.tree_map(jnp.asarray, batch["metadata"]),
-        )
+        if put_batch is not None:
+            batch = put_batch(batch)
+        else:
+            batch = {
+                k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in batch.items()
+            }
+        logits = eval_step(state, batch["image"], batch["metadata"])
         logits = np.asarray(logits, dtype=np.float32)
         logits_out[idx] = logits  # wrap-duplicates overwrite identically
         probs_out[idx] = np.asarray(
@@ -117,12 +120,27 @@ def train_process(
     tracker=None,
     fold_num: int = 0,
     resume_dir: Optional[str] = None,
+    mesh=None,
 ) -> Tuple[TrainState, Dict, Dict[str, List[float]]]:
     """``resume_dir``: if set, checkpoints (params+opt_state+step+epoch) are
     written there each epoch and training resumes from the latest one — true
-    mid-training resume, which the reference lacks (SURVEY.md §5)."""
+    mid-training resume, which the reference lacks (SURVEY.md §5).
+
+    ``mesh``: a jax ``Mesh`` with ("data", "model") axes — the state is
+    sharded by the parallel rules (replicated + TP on wide kernels) and every
+    batch shards over the data axis; GSPMD inserts the gradient collectives.
+    None = single device."""
     cfg = config
     rng = jax.random.key(cfg.seed)
+
+    if mesh is not None:
+        from skinjax.parallel.distributed import shard_batch as _shard_batch
+
+        put_batch = lambda b: _shard_batch(mesh, b)
+    else:
+        put_batch = lambda b: {
+            k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in b.items()
+        }
 
     class_weights = compute_class_weights(train_source.labels, num_classes)
     loss_fn = make_loss_fn(cfg.loss, class_weights, cfg.focal_gamma)
@@ -142,6 +160,10 @@ def train_process(
     mask = trainable_mask(state.params, cfg.unfreeze_weights)
     tx = make_optimizer(cfg.learning_rate, cfg.weight_decay, mask=mask)
     state = dataclasses.replace(state, opt_state=tx.init(state.params))
+    if mesh is not None:
+        from skinjax.parallel.distributed import distribute_state
+
+        state = distribute_state(mesh, state)
 
     train_step = make_train_step(
         model, tx, loss_fn, augment=cfg.augment, image_dtype=_dtype(cfg)
@@ -206,11 +228,12 @@ def train_process(
         # batch assembly with device compute. One sync per epoch instead.
         epoch_losses = []
         for bi, batch in enumerate(prefetch_batches(train_source, batches)):
+            batch = put_batch(batch)
             state, loss = train_step(
                 state,
-                jnp.asarray(batch["image"]),
-                jax.tree_util.tree_map(jnp.asarray, batch["metadata"]),
-                jnp.asarray(batch["label"]),
+                batch["image"],
+                batch["metadata"],
+                batch["label"],
                 step_rng,
             )
             epoch_losses.append(loss)
@@ -221,7 +244,8 @@ def train_process(
         )
 
         metrics, _, _, _, val_loss = evaluate(
-            eval_step, state, val_source, cfg.batch_size, num_classes, loss_fn
+            eval_step, state, val_source, cfg.batch_size, num_classes, loss_fn,
+            put_batch=put_batch,
         )
         metrics.update(
             epoch=epoch, train_loss=float(train_loss), val_loss=float(val_loss)
@@ -272,7 +296,8 @@ def train_process(
 
     best_state = early.load_best(state)
     final_metrics, labels, preds, probs, _ = evaluate(
-        eval_step, best_state, val_source, cfg.batch_size, num_classes, loss_fn
+        eval_step, best_state, val_source, cfg.batch_size, num_classes, loss_fn,
+        put_batch=put_batch,
     )
     final_metrics["fold"] = fold_num
     final_metrics["train process time"] = time.time() - t0

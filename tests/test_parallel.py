@@ -84,3 +84,28 @@ def test_pure_dp_mesh_runs():
         dstate, dbatch["image"], dbatch["metadata"], dbatch["label"], jax.random.key(0)
     )
     assert np.isfinite(float(loss))
+
+
+def test_train_process_on_mesh():
+    """Full train_process with a dp4xtp2 mesh: sharded state + batches."""
+    from skinjax.data import synthetic_source
+    from skinjax.train import TrainConfig, train_process
+    from skinjax.train.kfold import SubsetSource
+
+    src = synthetic_source(n=64, image_size=(32, 32), feature_dim=16, num_classes=4)
+    train = SubsetSource(src, np.arange(48))
+    val = SubsetSource(src, np.arange(48, 64))
+    model = MultimodalModel(
+        num_classes=4, num_heads=4, cnn_model_name="custom-cnn", common_dim=32,
+        text_encoder_dim_output=32, vocab_size=16,
+        attention_mechanism="concatenation",
+    )
+    mesh = create_mesh(n_data=4, n_model=2)
+    state, metrics, history = train_process(
+        model, train, val, num_classes=4,
+        config=TrainConfig(num_epochs=2, batch_size=16, image_dtype="float32",
+                           augment=True, learning_rate=1e-3),
+        mesh=mesh,
+    )
+    assert np.isfinite(history["train_loss"]).all()
+    assert np.isfinite(metrics["balanced_accuracy"])
