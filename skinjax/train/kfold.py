@@ -58,6 +58,7 @@ def run_kfold(
     save_checkpoints: bool = False,
     folds: Optional[Sequence[int]] = None,
     resume: bool = False,
+    mesh=None,
 ) -> List[Dict]:
     """Returns the list of per-fold final metric dicts. ``resume=True`` gives
     each fold a checkpoint dir under results_dir for mid-training restart."""
@@ -86,6 +87,7 @@ def run_kfold(
                 os.path.join(results_dir, f"{model_name}_fold_{fold_num}", "resume")
                 if resume else None
             ),
+            mesh=mesh,
         )
 
         fold_dir = os.path.join(results_dir, f"{model_name}_fold_{fold_num}")
