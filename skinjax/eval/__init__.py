@@ -1,3 +1,3 @@
-from skinjax.eval import artifacts
+from skinjax.eval import artifacts, plots, stats
 
-__all__ = ["artifacts"]
+__all__ = ["artifacts", "plots", "stats"]

@@ -40,6 +40,10 @@ def main(argv=None):
                             "last_layer_unfrozen_weights", "partial"])
     p.add_argument("--synthetic", action="store_true",
                    help="run on the synthetic fixture (smoke test, no data needed)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="data-parallel axis size (0 = single device)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel axis size")
     args = p.parse_args(argv)
 
     from skinjax.configs import load_env_config
@@ -87,7 +91,15 @@ def main(argv=None):
         )
         source = src
 
-    metrics = run_experiments(cfg, source=source, prepared=prepared, tracker=tracker)
+    mesh = None
+    if args.mesh_data:
+        from skinjax.parallel import create_mesh
+
+        mesh = create_mesh(n_data=args.mesh_data, n_model=args.mesh_model)
+
+    metrics = run_experiments(
+        cfg, source=source, prepared=prepared, tracker=tracker, mesh=mesh
+    )
     print(json.dumps({"n_runs": len(metrics), "results": metrics}, default=str)[:2000])
 
 

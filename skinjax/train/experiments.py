@@ -51,6 +51,7 @@ def run_experiments(
     source=None,
     prepared: Optional[PreparedDataset] = None,
     tracker=None,
+    mesh=None,
 ) -> List[Dict]:
     """The mechanism × backbone × heads sweep. Returns all fold metrics."""
     preset = DATASET_PRESETS.get(cfg.dataset, {"loss": "weighted_ce", "grouped": True})
@@ -106,6 +107,7 @@ def run_experiments(
                         model_name=name,
                         tracker=tracker,
                         save_checkpoints=cfg.save_to_disk,
+                        mesh=mesh,
                     )
                     for m in metrics:
                         m.update(mechanism=mechanism, backbone=backbone,
