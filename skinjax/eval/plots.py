@@ -71,6 +71,41 @@ def confusion_from_predictions_csv(
     plot_confusion_matrix(labels, preds, class_names, out_path)
 
 
+def model_summary(params, max_depth: int = 2) -> str:
+    """Text summary of a param tree: per-module parameter counts (the
+    torchviz plot_model.py:52-82 role, as greppable text)."""
+    import jax
+
+    counts: Dict[str, int] = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        prefix = "/".join(keys[:max_depth])
+        counts[prefix] = counts.get(prefix, 0) + int(np.prod(leaf.shape))
+    total = sum(counts.values())
+    lines = [f"{'module':50s} {'params':>12s}  share"]
+    for name, c in sorted(counts.items(), key=lambda kv: -kv[1]):
+        lines.append(f"{name:50s} {c:12,d}  {100 * c / total:5.1f}%")
+    lines.append(f"{'TOTAL':50s} {total:12,d}")
+    return "\n".join(lines)
+
+
+def nas_convergence_plot(step_log: Sequence[Dict], path: str) -> None:
+    """reward + best-so-far vs step (the BO variant's convergence plot)."""
+    plt = _plt()
+    rewards = [r["reward"] for r in step_log]
+    best = np.maximum.accumulate(rewards)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(rewards, ".", alpha=0.5, label="reward")
+    ax.plot(best, "-", label="best so far")
+    ax.set_xlabel("search step")
+    ax.set_ylabel("balanced accuracy")
+    ax.legend()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
 def dataset_sample_grid(
     source, path: str, n: int = 16, class_names: Optional[Sequence[str]] = None,
     seed: int = 0,

@@ -69,3 +69,29 @@ def test_aggregate_cli(tmp_path, capsys):
     with open(os.path.join(out, "statistical_tests.json")) as f:
         stats = json.load(f)
     assert stats["friedman"] is not None and len(stats["pairwise"]) == 3
+
+
+def test_model_summary_and_nas_convergence(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from skinjax.eval.plots import model_summary, nas_convergence_plot
+    from skinjax.models import MultimodalModel
+
+    model = MultimodalModel(
+        num_classes=3, num_heads=4, cnn_model_name="custom-cnn", common_dim=32,
+        text_encoder_dim_output=32, vocab_size=8,
+        attention_mechanism="concatenation",
+    )
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 8))
+    )["params"]
+    s = model_summary(params)
+    assert "TOTAL" in s and "fc_fusion" in s
+
+    log = [{"reward": r} for r in [0.2, 0.5, 0.3, 0.7, 0.6]]
+    p = str(tmp_path / "conv.png")
+    nas_convergence_plot(log, p)
+    import os
+
+    assert os.path.getsize(p) > 0
