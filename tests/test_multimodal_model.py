@@ -35,11 +35,12 @@ def test_all_mechanisms_forward(mech):
     assert np.isfinite(np.asarray(logits)).all()
 
 
-def test_mechanism_grads_flow():
+@pytest.mark.parametrize("mech", MECHANISMS)
+def test_mechanism_grads_flow(mech):
     model = MultimodalModel(
         num_classes=NCLS, num_heads=4, cnn_model_name="custom-cnn",
         common_dim=32, text_encoder_dim_output=32, vocab_size=VOCAB,
-        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+        attention_mechanism=mech,
     )
     img, meta = _inputs()
     variables = model.init(jax.random.key(0), img, meta)
@@ -54,9 +55,16 @@ def test_mechanism_grads_flow():
     grads = jax.grad(loss)(variables["params"])
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
-    # fusion-path params must receive nonzero gradient
+    # the head and (when used) the metadata tower must receive gradient
     total = sum(float(jnp.abs(g).sum()) for g in flat)
     assert total > 0
+    if mech not in ("no-metadata", "no-metadata-without-mlp"):
+        txt_g = sum(
+            float(jnp.abs(g).sum())
+            for p, g in jax.tree_util.tree_leaves_with_path(grads)
+            if "text_tower" in jax.tree_util.keystr(p)
+        )
+        assert txt_g > 0, f"metadata tower got zero gradient under {mech}"
 
 
 def test_capture_returns_features():
