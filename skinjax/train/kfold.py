@@ -75,20 +75,33 @@ def run_kfold(
         val_src = SubsetSource(source, val_idx)
         model = model_factory()
 
-        state, metrics, history = train_process(
-            model,
-            train_src,
-            val_src,
-            num_classes,
-            config=config,
-            tracker=tracker,
-            fold_num=fold_num,
-            resume_dir=(
-                os.path.join(results_dir, f"{model_name}_fold_{fold_num}", "resume")
-                if resume else None
-            ),
-            mesh=mesh,
+        import contextlib
+
+        run_ctx = (
+            tracker.start_run(f"{model_name}_fold_{fold_num}")
+            if tracker is not None and hasattr(tracker, "start_run")
+            else contextlib.nullcontext()
         )
+        with run_ctx:
+            if tracker is not None:
+                tracker.log_param("fold_num", fold_num)
+                tracker.log_param("model_name", model_name)
+            state, metrics, history = train_process(
+                model,
+                train_src,
+                val_src,
+                num_classes,
+                config=config,
+                tracker=tracker,
+                fold_num=fold_num,
+                resume_dir=(
+                    os.path.join(
+                        results_dir, f"{model_name}_fold_{fold_num}", "resume"
+                    )
+                    if resume else None
+                ),
+                mesh=mesh,
+            )
 
         fold_dir = os.path.join(results_dir, f"{model_name}_fold_{fold_num}")
         artifacts.save_audit_arrays(
