@@ -23,3 +23,20 @@ Layer map (mirrors SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import skinjax` light)."""
+    if name in ("MultimodalModel", "MECHANISMS", "create_model"):
+        from skinjax import models
+
+        return getattr(models, name)
+    if name in ("TrainConfig", "train_process", "run_kfold"):
+        from skinjax import train
+
+        return getattr(train, name)
+    if name == "InferenceEngine":
+        from skinjax.serve import InferenceEngine
+
+        return InferenceEngine
+    raise AttributeError(f"module 'skinjax' has no attribute '{name}'")

@@ -129,6 +129,12 @@ def run_nas(
     os.makedirs(results_dir, exist_ok=True)
     with open(os.path.join(results_dir, "best_config.json"), "w") as f:
         json.dump({"config": best_cfg, "reward": best_reward}, f, indent=1, default=str)
+    try:
+        from skinjax.eval.plots import nas_convergence_plot
+
+        nas_convergence_plot(log, os.path.join(results_dir, "convergence.png"))
+    except Exception:
+        pass  # plotting is best-effort
     return best_cfg, best_reward, log
 
 
