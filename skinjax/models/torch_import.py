@@ -213,6 +213,62 @@ def import_densenet(
     return params, stats
 
 
+def import_mobilenet_v2(
+    sd: Dict[str, np.ndarray],
+    cfg: Sequence = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                     (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)),
+    prefix: str = "",
+) -> Tuple[Dict, Dict]:
+    """torchvision MobileNetV2 (features.0 stem ConvBNReLU, features.1..17
+    InvertedResidual with conv.{0.0,0.1,1.0,1.1,2,3} — expand_ratio-1 blocks
+    shift to conv.{0.0,0.1,1,2} — features.18 head) -> skinjax
+    cnn_zoo.MobileNetV2 (params, batch_stats)."""
+    P = lambda s: f"{prefix}features.{s}"
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put_bn(name: str, src: str):
+        bnp, bns = t2f_bn(sd, P(src))
+        params[name], stats[name] = bnp, bns
+
+    params["stem"] = t2f_conv(sd, P("0.0"))
+    put_bn("stem_bn", "0.1")
+
+    idx = 0
+    feat_i = 1
+    for t, c, n, s in cfg:
+        for j in range(n):
+            blk = f"block{idx}"
+            params[blk] = {}
+            stats[blk] = {}
+            if t != 1:
+                params[blk]["expand"] = t2f_conv(sd, P(f"{feat_i}.conv.0.0"))
+                bnp, bns = t2f_bn(sd, P(f"{feat_i}.conv.0.1"))
+                params[blk]["expand_bn"], stats[blk]["expand_bn"] = bnp, bns
+                dw_conv, dw_bn = f"{feat_i}.conv.1.0", f"{feat_i}.conv.1.1"
+                pj_conv, pj_bn = f"{feat_i}.conv.2", f"{feat_i}.conv.3"
+            else:
+                dw_conv, dw_bn = f"{feat_i}.conv.0.0", f"{feat_i}.conv.0.1"
+                pj_conv, pj_bn = f"{feat_i}.conv.1", f"{feat_i}.conv.2"
+            # torch depthwise kernels are (C,1,kh,kw); flax grouped convs use
+            # HWIO with I=1: (kh,kw,1,C)
+            dw = sd[P(f"{dw_conv}.weight")]
+            params[blk]["dw"] = {
+                "kernel": np.ascontiguousarray(dw.transpose(2, 3, 1, 0))
+            }
+            bnp, bns = t2f_bn(sd, P(dw_bn))
+            params[blk]["dw_bn"], stats[blk]["dw_bn"] = bnp, bns
+            params[blk]["project"] = t2f_conv(sd, P(pj_conv))
+            bnp, bns = t2f_bn(sd, P(pj_bn))
+            params[blk]["project_bn"], stats[blk]["project_bn"] = bnp, bns
+            idx += 1
+            feat_i += 1
+
+    params["head"] = t2f_conv(sd, P(f"{feat_i}.0"))
+    put_bn("head_bn", f"{feat_i}.1")
+    return params, stats
+
+
 def import_vgg16(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
     """torchvision VGG16 (features.{0,2,5,7,10,12,14,17,19,21,24,26,28} convs,
     classifier.{0,3} kept after the reference strips classifier[-1],

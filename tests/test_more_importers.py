@@ -174,3 +174,63 @@ def test_densenet_import_matches_torch():
         ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     out = fm.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_mobilenet_v2_import_matches_torch():
+    from skinjax.models.backbones.cnn_zoo import MobileNetV2
+    from skinjax.models.torch_import import import_mobilenet_v2
+
+    torch.manual_seed(3)
+    cfg = ((1, 8, 1, 1), (6, 12, 2, 2))
+
+    class ConvBNReLU(nn.Sequential):
+        def __init__(self, cin, cout, k=3, s=1, groups=1):
+            super().__init__(
+                nn.Conv2d(cin, cout, k, s, k // 2, groups=groups, bias=False),
+                nn.BatchNorm2d(cout),
+                nn.ReLU6(),
+            )
+
+    class InvRes(nn.Module):
+        def __init__(self, cin, cout, stride, expand):
+            super().__init__()
+            hidden = cin * expand
+            layers = []
+            if expand != 1:
+                layers.append(ConvBNReLU(cin, hidden, k=1))
+            layers += [
+                ConvBNReLU(hidden, hidden, k=3, s=stride, groups=hidden),
+                nn.Conv2d(hidden, cout, 1, bias=False),
+                nn.BatchNorm2d(cout),
+            ]
+            self.conv = nn.Sequential(*layers)
+            self.use_res = stride == 1 and cin == cout
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res else self.conv(x)
+
+    class TMobileNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [ConvBNReLU(3, 32, s=2)]
+            cin = 32
+            for t, c, n, s in cfg:
+                for j in range(n):
+                    feats.append(InvRes(cin, c, s if j == 0 else 1, t))
+                    cin = c
+            feats.append(ConvBNReLU(cin, 1280, k=1))
+            self.features = nn.Sequential(*feats)
+
+        def forward(self, x):
+            return self.features(x)
+
+    tm = TMobileNet().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = import_mobilenet_v2(sd, cfg)
+
+    fm = MobileNetV2(cfg=cfg)
+    x = np.random.default_rng(3).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    out = fm.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
