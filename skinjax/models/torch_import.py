@@ -269,6 +269,70 @@ def import_mobilenet_v2(
     return params, stats
 
 
+def import_efficientnet(
+    sd: Dict[str, np.ndarray],
+    cfg: Sequence = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 40, 2, 2), (6, 80, 3, 2),
+                     (6, 112, 3, 1), (6, 192, 4, 2), (6, 320, 1, 1)),
+    depth: float = 1.0,
+    prefix: str = "",
+) -> Tuple[Dict, Dict]:
+    """torchvision EfficientNet (features.0 stem, features.{s}.{b}.block.{...}
+    MBConv with optional expand stage + SqueezeExcitation convs, features.N
+    head) -> skinjax cnn_zoo.EfficientNet (params, batch_stats)."""
+    import math
+
+    P = lambda s: f"{prefix}features.{s}"
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put_bn(name: str, src: str):
+        bnp, bns = t2f_bn(sd, P(src))
+        params[name], stats[name] = bnp, bns
+
+    def dw_conv(src: str) -> Dict:
+        w = sd[P(f"{src}.weight")]  # (C,1,kh,kw) -> (kh,kw,1,C)
+        return {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+
+    def se_dense(src: str) -> Dict:
+        # 1x1 conv (out,in,1,1) -> dense kernel (in,out)
+        w = sd[P(f"{src}.weight")][:, :, 0, 0]
+        return {"kernel": np.ascontiguousarray(w.T), "bias": sd[P(f"{src}.bias")]}
+
+    params["stem"] = t2f_conv(sd, P("0.0"))
+    put_bn("stem_bn", "0.1")
+
+    idx = 0
+    for si, (t, c, n, s) in enumerate(cfg, start=1):
+        n = int(math.ceil(n * depth))
+        for b in range(n):
+            blk = f"block{idx}"
+            B = f"{si}.{b}.block"
+            params[blk] = {}
+            stats[blk] = {}
+            if t != 1:
+                params[blk]["expand"] = t2f_conv(sd, P(f"{B}.0.0"))
+                bnp, bns = t2f_bn(sd, P(f"{B}.0.1"))
+                params[blk]["expand_bn"], stats[blk]["expand_bn"] = bnp, bns
+                dw, se, pj = f"{B}.1", f"{B}.2", f"{B}.3"
+            else:
+                dw, se, pj = f"{B}.0", f"{B}.1", f"{B}.2"
+            params[blk]["dw"] = dw_conv(f"{dw}.0")
+            bnp, bns = t2f_bn(sd, P(f"{dw}.1"))
+            params[blk]["dw_bn"], stats[blk]["dw_bn"] = bnp, bns
+            params[blk]["se"] = {
+                "fc1": se_dense(f"{se}.fc1"), "fc2": se_dense(f"{se}.fc2"),
+            }
+            params[blk]["project"] = t2f_conv(sd, P(f"{pj}.0"))
+            bnp, bns = t2f_bn(sd, P(f"{pj}.1"))
+            params[blk]["project_bn"], stats[blk]["project_bn"] = bnp, bns
+            idx += 1
+
+    head_i = len(cfg) + 1
+    params["head"] = t2f_conv(sd, P(f"{head_i}.0"))
+    put_bn("head_bn", f"{head_i}.1")
+    return params, stats
+
+
 def import_vgg16(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
     """torchvision VGG16 (features.{0,2,5,7,10,12,14,17,19,21,24,26,28} convs,
     classifier.{0,3} kept after the reference strips classifier[-1],

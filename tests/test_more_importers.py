@@ -234,3 +234,80 @@ def test_mobilenet_v2_import_matches_torch():
         ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     out = fm.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_efficientnet_import_matches_torch():
+    from skinjax.models.backbones.cnn_zoo import EfficientNet
+    from skinjax.models.torch_import import import_efficientnet
+
+    torch.manual_seed(4)
+    cfg = ((1, 8, 1, 1), (6, 16, 2, 2))
+
+    class ConvNormAct(nn.Sequential):
+        def __init__(self, cin, cout, k=3, s=1, groups=1, act=True):
+            mods = [
+                nn.Conv2d(cin, cout, k, s, k // 2, groups=groups, bias=False),
+                nn.BatchNorm2d(cout, eps=1e-3),
+            ]
+            if act:
+                mods.append(nn.SiLU())
+            super().__init__(*mods)
+
+    class SE(nn.Module):
+        def __init__(self, cin, squeeze):
+            super().__init__()
+            self.fc1 = nn.Conv2d(cin, squeeze, 1)
+            self.fc2 = nn.Conv2d(squeeze, cin, 1)
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            s = torch.sigmoid(self.fc2(torch.nn.functional.silu(self.fc1(s))))
+            return x * s
+
+    class MBConv(nn.Module):
+        def __init__(self, cin, cout, stride, expand):
+            super().__init__()
+            hidden = cin * expand
+            mods = []
+            if expand != 1:
+                mods.append(ConvNormAct(cin, hidden, k=1))
+            mods += [
+                ConvNormAct(hidden, hidden, k=3, s=stride, groups=hidden),
+                SE(hidden, max(1, cin // 4)),
+                ConvNormAct(hidden, cout, k=1, act=False),
+            ]
+            self.block = nn.Sequential(*mods)
+            self.use_res = stride == 1 and cin == cout
+
+        def forward(self, x):
+            return x + self.block(x) if self.use_res else self.block(x)
+
+    class TEffNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [ConvNormAct(3, 32, s=2)]
+            cin = 32
+            for t, c, n, s in cfg:
+                stage = []
+                for j in range(n):
+                    stage.append(MBConv(cin, c, s if j == 0 else 1, t))
+                    cin = c
+                feats.append(nn.Sequential(*stage))
+            feats.append(ConvNormAct(cin, 1280, k=1))
+            self.features = nn.Sequential(*feats)
+
+        def forward(self, x):
+            return self.features(x)
+
+    tm = TEffNet().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = import_efficientnet(sd, cfg, depth=1.0)
+
+    # match the scaled-down config on the flax side (no width rounding at
+    # these sizes because _round_filters(32,1)=32 etc.)
+    fm = EfficientNet(width=1.0, depth=1.0, cfg=tuple((t, c, n, s, 3) for t, c, n, s in cfg))
+    x = np.random.default_rng(4).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    out = fm.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=3e-4)
