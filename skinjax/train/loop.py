@@ -34,7 +34,7 @@ from skinjax.train.steps import (
     create_train_state,
     make_eval_step,
     make_loss_eval_step,
-    make_train_step,
+    make_train_step_weighted,
 )
 
 
@@ -165,9 +165,13 @@ def train_process(
 
         state = distribute_state(mesh, state)
 
-    train_step = make_train_step(
-        model, tx, loss_fn, augment=cfg.augment, image_dtype=_dtype(cfg)
+    # class weights ride as a call argument so the jitted step trace-caches
+    # across folds (see steps.make_train_step_weighted)
+    train_step = make_train_step_weighted(
+        model, tx, loss_name=cfg.loss, focal_gamma=cfg.focal_gamma,
+        augment=cfg.augment, image_dtype=_dtype(cfg),
     )
+    cw_dev = jnp.asarray(class_weights)
     eval_step = make_eval_step(model, image_dtype=_dtype(cfg))
 
     early = EarlyStopping(
@@ -235,6 +239,7 @@ def train_process(
                 batch["metadata"],
                 batch["label"],
                 step_rng,
+                cw_dev,
             )
             epoch_losses.append(loss)
             if tracker and cfg.log_every and (bi + 1) % cfg.log_every == 0:

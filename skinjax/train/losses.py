@@ -67,6 +67,30 @@ def soft_target_cross_entropy(
     return -(t * logp).sum(axis=-1).mean()
 
 
+def weighted_loss(name: str, gamma: float = 2.0):
+    """Loss with class weights as a CALL argument (not a closure) — lets the
+    jitted train step be trace-cached across CV folds whose class weights
+    differ. Returned fns are memoized so equal (name, gamma) give the same
+    object (a stable jit-cache key)."""
+    key = (name, gamma)
+    fn = _WEIGHTED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    if name in ("cross_entropy", "ce", "weighted_ce"):
+        fn = lambda logits, labels, w: cross_entropy(logits, labels, w)
+    elif name in ("focal", "focal_loss"):
+        fn = lambda logits, labels, w: focal_loss(logits, labels, w, gamma)
+    elif name in ("soft_target", "soft_target_ce"):
+        fn = lambda logits, targets, w: soft_target_cross_entropy(logits, targets, w)
+    else:
+        raise ValueError(f"unknown loss '{name}'")
+    _WEIGHTED_CACHE[key] = fn
+    return fn
+
+
+_WEIGHTED_CACHE: dict = {}
+
+
 def make_loss_fn(name: str, class_weights=None, gamma: float = 2.0):
     """Loss factory keyed by the reference's config strings."""
     cw = None if class_weights is None else jnp.asarray(class_weights)

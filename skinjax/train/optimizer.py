@@ -84,13 +84,29 @@ def trainable_mask(params, mode: str, frozen_prefixes: Sequence[str] = ("image_e
     return jax.tree_util.tree_map_with_path(leaf_mask, params)
 
 
+_TX_CACHE: dict = {}
+
+
 def make_optimizer(
     learning_rate: float = 5e-5,
     weight_decay: float = 1e-4,
     mask=None,
 ) -> optax.GradientTransformation:
     """torch-Adam-with-weight-decay (L2 added to grads before moments) with an
-    injectable learning rate; optionally masked for frozen params."""
+    injectable learning rate; optionally masked for frozen params.
+
+    Memoized by (lr, wd, mask fingerprint): equal configs return the SAME
+    transformation object, so jitted steps keyed on it trace-cache across
+    CV folds/sweep cells."""
+    if mask is None:
+        fp = None
+    else:
+        leaves, treedef = jax.tree_util.tree_flatten(mask)
+        fp = (str(treedef), tuple(bool(l) for l in leaves))
+    cache_key = (learning_rate, weight_decay, fp)
+    cached = _TX_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     def base(learning_rate):
         return optax.chain(
@@ -106,6 +122,7 @@ def make_optimizer(
         tx = optax.multi_transform(
             {"trainable": tx, "frozen": optax.set_to_zero()}, labels
         )
+    _TX_CACHE[cache_key] = tx
     return tx
 
 

@@ -58,6 +58,15 @@ def create_train_state(model, rng, sample_batch, tx) -> TrainState:
     )
 
 
+# Cross-fold trace cache: a k-fold sweep builds an identical (model, tx,
+# loss, augment, dtype) program per fold; re-tracing it costs 10-40s each.
+# Keyed on the *objects* — linen Modules hash by config fields, and
+# make_optimizer memoizes tx by hyperparams — so equal configs share one
+# jitted step. Falls back to uncached for unhashable pieces (e.g. HF towers).
+_TRAIN_STEP_CACHE: Dict = {}
+_EVAL_STEP_CACHE: Dict = {}
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -66,6 +75,13 @@ def make_train_step(
     image_dtype=jnp.bfloat16,
 ) -> Callable:
     """Returns jitted (state, image_u8, metadata, label, rng) -> (state, loss)."""
+    try:
+        key = (model, tx, loss_fn, augment, jnp.dtype(image_dtype).name)
+        cached = _TRAIN_STEP_CACHE.get(key)
+        if cached is not None:
+            return cached
+    except TypeError:
+        key = None
 
     def step(state: TrainState, image_u8, metadata, label, rng):
         aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -102,11 +118,87 @@ def make_train_step(
             loss,
         )
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+    if key is not None:
+        _TRAIN_STEP_CACHE[key] = jitted
+    return jitted
+
+
+def make_train_step_weighted(
+    model,
+    tx: optax.GradientTransformation,
+    loss_name: str = "weighted_ce",
+    focal_gamma: float = 2.0,
+    augment: bool = True,
+    image_dtype=jnp.bfloat16,
+) -> Callable:
+    """Trace-cacheable train step: class weights are a CALL argument, so folds
+    with different class distributions share one compiled program.
+
+    Returns jitted (state, image_u8, metadata, label, rng, class_weights)
+    -> (state, loss)."""
+    from skinjax.train.losses import weighted_loss
+
+    wloss = weighted_loss(loss_name, focal_gamma)
+    try:
+        key = ("w", model, tx, loss_name, focal_gamma, augment,
+               jnp.dtype(image_dtype).name)
+        cached = _TRAIN_STEP_CACHE.get(key)
+        if cached is not None:
+            return cached
+    except TypeError:
+        key = None
+
+    def step(state: TrainState, image_u8, metadata, label, rng, class_weights):
+        aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        image = augment_batch(image_u8, aug_rng, train=augment, out_dtype=image_dtype)
+        metadata = _cast_metadata(metadata, image_dtype)
+
+        def loss_of(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(
+                variables,
+                image,
+                metadata,
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"] if state.batch_stats else [],
+            )
+            loss = wloss(out.astype(jnp.float32), label, class_weights)
+            return loss, mutated.get("batch_stats", state.batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+    if key is not None:
+        _TRAIN_STEP_CACHE[key] = jitted
+    return jitted
 
 
 def make_eval_step(model, image_dtype=jnp.bfloat16) -> Callable:
     """Returns jitted (state, image_u8, metadata) -> logits (fp32)."""
+    try:
+        key = (model, jnp.dtype(image_dtype).name)
+        cached = _EVAL_STEP_CACHE.get(key)
+        if cached is not None:
+            return cached
+    except TypeError:
+        key = None
 
     def step(state: TrainState, image_u8, metadata):
         image = augment_batch(
@@ -118,7 +210,10 @@ def make_eval_step(model, image_dtype=jnp.bfloat16) -> Callable:
         logits = model.apply(variables, image, _cast_metadata(metadata, image_dtype))
         return logits.astype(jnp.float32)
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+    if key is not None:
+        _EVAL_STEP_CACHE[key] = jitted
+    return jitted
 
 
 def make_loss_eval_step(model, loss_fn, image_dtype=jnp.bfloat16) -> Callable:
