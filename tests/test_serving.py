@@ -120,3 +120,53 @@ def test_stablehlo_export_roundtrip(tmp_path):
     ref = model.apply(variables, img, meta)
     out = exported.call(img, meta)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_engine_handles_odd_image_sizes_and_bad_metadata():
+    eng = _engine("concatenation", use_fused=True)
+    rng = np.random.default_rng(5)
+    # huge and tiny images both resize to the model input
+    for shape in [(7, 9, 3), (500, 333, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = eng.predict(img, "ARM, True, 50")
+        assert len(out["probabilities"]) == 4
+    # wrong arity metadata -> clear error
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="expected 3 metadata values"):
+        eng.predict(img, "ARM, True")
+    # unknown category + junk numeric degrade gracefully (EMPTY/-1 semantics)
+    out = eng.predict(img, "MARS, maybe, not_a_number")
+    assert abs(sum(out["probabilities"]) - 1.0) < 1e-5
+
+
+def test_api_error_responses():
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from skinjax.serve.api import make_handler
+
+    eng = _engine("concatenation", use_fused=False)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # invalid image bytes -> 400
+        payload = json.dumps({"image_b64": "aGVsbG8=", "metadata": "ARM, True, 4"})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict/", data=payload.encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # unknown route -> 404
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=10)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
