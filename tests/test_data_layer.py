@@ -184,3 +184,46 @@ def test_augment_batch_shapes_and_determinism():
     ]
     np.testing.assert_allclose(np.asarray(ev), ref.astype(np.float32), atol=1e-5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stratified_kfold_vs_sklearn_balance():
+    """Our splitter's per-fold class balance must match sklearn's quality."""
+    from sklearn.model_selection import StratifiedKFold
+
+    rng = np.random.default_rng(5)
+    labels = rng.choice(4, size=237, p=[0.5, 0.3, 0.15, 0.05])
+
+    def imbalance(splits):
+        devs = []
+        global_frac = np.bincount(labels, minlength=4) / len(labels)
+        for _, val in splits:
+            frac = np.bincount(labels[val], minlength=4) / max(len(val), 1)
+            devs.append(np.abs(frac - global_frac).mean())
+        return float(np.mean(devs))
+
+    ours = imbalance(list(stratified_kfold(labels, 5, seed=0)))
+    sk = StratifiedKFold(5, shuffle=True, random_state=0)
+    theirs = imbalance([(tr, va) for tr, va in sk.split(labels, labels)])
+    assert ours <= theirs * 1.5 + 1e-9
+
+
+def test_stratified_group_kfold_vs_sklearn_balance():
+    from sklearn.model_selection import StratifiedGroupKFold
+
+    rng = np.random.default_rng(6)
+    groups = rng.integers(0, 60, size=400)
+    labels = (groups % 3 + rng.integers(0, 2, 400)) % 3  # group-correlated
+
+    def imbalance(splits):
+        devs = []
+        gf = np.bincount(labels, minlength=3) / len(labels)
+        for _, val in splits:
+            frac = np.bincount(labels[val], minlength=3) / max(len(val), 1)
+            devs.append(np.abs(frac - gf).mean())
+        return float(np.mean(devs))
+
+    ours = imbalance(list(stratified_group_kfold(labels, groups, 5, seed=42)))
+    sk = StratifiedGroupKFold(5, shuffle=True, random_state=42)
+    theirs = imbalance([(tr, va) for tr, va in sk.split(labels, labels, groups)])
+    # same objective, different greedy tie-breaks: within 2x of sklearn
+    assert ours <= theirs * 2.0 + 0.02
