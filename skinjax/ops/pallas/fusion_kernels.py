@@ -38,7 +38,7 @@ def _interpret() -> bool:
 
 
 def _vmem():
-    return pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
 def _ln(x, gamma, beta):

@@ -33,7 +33,6 @@ from skinjax.train.steps import (
     TrainState,
     create_train_state,
     make_eval_step,
-    make_loss_eval_step,
     make_train_step_weighted,
 )
 
