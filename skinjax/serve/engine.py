@@ -209,9 +209,10 @@ class InferenceEngine:
         img = jnp.asarray(
             rng.normal(size=(batch, *image_size, 3)).astype(np.float32)
         )
-        meta = jnp.asarray(
-            rng.normal(size=(batch, self.model.vocab_size)).astype(np.float32)
+        vocab = getattr(self.model, "vocab_size", None) or (
+            self.featurizer.dim if self.featurizer else 91
         )
+        meta = jnp.asarray(rng.normal(size=(batch, vocab)).astype(np.float32))
         self._predict(img, meta).block_until_ready()
         times = []
         for _ in range(n):
