@@ -164,7 +164,10 @@ def _augment_one(img, key, cfg):
     shared across the batch dim, the gather vectorizes, and the same op costs
     <1ms (measured). Everything here is index-free and stays per-sample.
     """
-    keys = jax.random.split(key, 10)
+    # NOTE: indices 0-1/4-5 are reserved by the retired per-sample rotate/blur
+    # draws so existing RNG streams stay stable; 12 subkeys are required —
+    # out-of-bounds jnp indexing CLAMPS silently (keys[11] -> keys[9]).
+    keys = jax.random.split(key, 12)
 
     # Flips
     img = jnp.where(jax.random.uniform(keys[2]) < cfg["p_hflip"], img[:, ::-1], img)
