@@ -120,10 +120,12 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        # timm parity: no shift when one window covers the whole map
+        shift = self.shift if (H > self.window or W > self.window) else 0
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        if self.shift > 0:
-            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(_swin_attn_mask(H, W, self.window, self.shift))
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_swin_attn_mask(H, W, self.window, shift))
         else:
             mask = None
         y = window_partition(y, self.window)
@@ -131,8 +133,8 @@ class SwinBlock(nn.Module):
             self.dim, self.num_heads, self.window, dtype=self.dtype, name="attn"
         )(y, mask)
         y = window_reverse(y, self.window, H, W)
-        if self.shift > 0:
-            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = x + y
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return x + Mlp(self.dim, dtype=self.dtype, name="mlp")(y)
@@ -206,6 +208,25 @@ class PatchMerge(nn.Module):
         )(x)
 
 
+class SwinPatchMerge(nn.Module):
+    """timm-layout patch merging: 2×2 slice-concat → LayerNorm(4C) →
+    Linear(4C→2C, no bias). Import-compatible with timm Swin checkpoints."""
+
+    out_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
 class Swin(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     depths: Sequence[int] = (2, 2, 6, 2)
@@ -220,7 +241,7 @@ class Swin(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
         for si, (dim, depth, h) in enumerate(zip(self.dims, self.depths, self.heads)):
             if si > 0:
-                x = PatchMerge(dim, dtype=self.dtype, name=f"merge{si}")(x)
+                x = SwinPatchMerge(dim, dtype=self.dtype, name=f"merge{si}")(x)
             for bi in range(depth):
                 shift = self.window // 2 if bi % 2 == 1 else 0
                 x = SwinBlock(

@@ -333,6 +333,62 @@ def import_efficientnet(
     return params, stats
 
 
+def import_swin(
+    sd: Dict[str, np.ndarray],
+    dims: Sequence[int] = (96, 192, 384, 768),
+    depths: Sequence[int] = (2, 2, 6, 2),
+    prefix: str = "",
+) -> Dict:
+    """timm Swin (patch_embed.proj/norm, layers.{i}.blocks.{j}.{norm1,
+    attn.{qkv,proj,relative_position_bias_table},norm2,mlp.{fc1,fc2}},
+    layers.{i}.downsample.{norm,reduction}, norm) -> skinjax
+    transformer_zoo.Swin. The relative-position index map is recomputed
+    statically with timm's formula, so only the bias table transfers."""
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {
+        "patch_embed": {
+            "kernel": np.ascontiguousarray(
+                sd[P("patch_embed.proj.weight")].transpose(2, 3, 1, 0)
+            ),
+            "bias": sd[P("patch_embed.proj.bias")],
+        },
+        "patch_norm": t2f_ln(sd, P("patch_embed.norm")),
+        "norm": t2f_ln(sd, P("norm")),
+    }
+    for si, depth in enumerate(depths):
+        if si > 0:
+            # timm names the merge on the stage it downsamples INTO or OUT OF
+            # depending on version; accept both layers.{si}.downsample and
+            # layers.{si-1}.downsample
+            for cand in (f"layers.{si}.downsample", f"layers.{si - 1}.downsample"):
+                if P(f"{cand}.reduction.weight") in sd:
+                    params[f"merge{si}"] = {
+                        "norm": t2f_ln(sd, P(f"{cand}.norm")),
+                        "reduction": {
+                            "kernel": np.ascontiguousarray(
+                                sd[P(f"{cand}.reduction.weight")].T
+                            )
+                        },
+                    }
+                    break
+        for bi in range(depth):
+            B = f"layers.{si}.blocks.{bi}"
+            params[f"stage{si}_block{bi}"] = {
+                "norm1": t2f_ln(sd, P(f"{B}.norm1")),
+                "attn": {
+                    "qkv": t2f_linear(sd, P(f"{B}.attn.qkv")),
+                    "proj": t2f_linear(sd, P(f"{B}.attn.proj")),
+                    "rel_bias": sd[P(f"{B}.attn.relative_position_bias_table")],
+                },
+                "norm2": t2f_ln(sd, P(f"{B}.norm2")),
+                "mlp": {
+                    "fc1": t2f_linear(sd, P(f"{B}.mlp.fc1")),
+                    "fc2": t2f_linear(sd, P(f"{B}.mlp.fc2")),
+                },
+            }
+    return params
+
+
 def import_vgg16(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
     """torchvision VGG16 (features.{0,2,5,7,10,12,14,17,19,21,24,26,28} convs,
     classifier.{0,3} kept after the reference strips classifier[-1],
