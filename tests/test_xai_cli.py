@@ -62,3 +62,28 @@ def test_xai_cli_flip_rate(disk, capsys):
         summary = json.load(f)
     assert "smoke" in summary and "region" in summary
     assert all(0.0 <= v["flip_rate"] <= 1.0 for v in summary.values())
+
+
+def test_train_cli_on_disk_data(disk, capsys):
+    """The user-facing training CLI over real files end to end."""
+    csv, img_dir, root = disk
+    import os
+
+    from skinjax.tools.train_cli import main
+
+    out = os.path.join(root, "train_cli")
+    main(["--dataset", "pad-ufes-20", "--metadata-csv", csv,
+          "--images-dir", img_dir, "--results-dir", out,
+          "--backbones", "custom-cnn", "--mechanisms", "concatenation",
+          "--num-heads", "4", "--common-dim", "32", "--k-folds", "2",
+          "--epochs", "1", "--batch-size", "8"])
+    import json
+
+    printed = capsys.readouterr().out
+    result = json.loads(printed[: printed.rfind("}") + 1])
+    assert result["n_runs"] == 2
+    assert os.path.exists(os.path.join(
+        out, "multimodal_custom-cnn_concatenation_h4", "model_metrics.csv"))
+    # featurizer persisted for serving parity
+    assert os.path.exists(os.path.join(
+        out, "preprocess_data", "featurizer_pad-ufes-20.json"))
