@@ -77,3 +77,37 @@ def test_tab_transformer_training_end_to_end(tmp_path):
     )
     assert np.isfinite(history["train_loss"]).all()
     assert np.isfinite(metrics["balanced_accuracy"])
+
+
+def test_static_embedding_tower_training():
+    """PubMedBERT-style precomputed sentence embeddings path
+    (skinLesionDatasetsWithPubMedEmbeddings.py): embeddings ride as the
+    metadata features through the static-embedding tower."""
+    from skinjax.data.pipeline import ArraySource
+    from skinjax.models import MultimodalModel
+    from skinjax.train import TrainConfig, train_process
+    from skinjax.train.kfold import SubsetSource
+
+    rng = np.random.default_rng(1)
+    n, emb_dim, ncls = 40, 24, 3
+    labels = rng.integers(0, ncls, n).astype(np.int32)
+    embeddings = rng.normal(size=(n, emb_dim)).astype(np.float32)
+    embeddings[np.arange(n), labels] += 2.0  # class signal in the embedding
+    images = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+    src = ArraySource(images, embeddings, labels)
+
+    model = MultimodalModel(
+        num_classes=ncls, num_heads=4, cnn_model_name="custom-cnn",
+        common_dim=32, text_encoder_dim_output=32,
+        text_model_name="static-embedding",
+        attention_mechanism="concatenation",
+    )
+    train = SubsetSource(src, np.arange(32))
+    val = SubsetSource(src, np.arange(32, 40))
+    state, metrics, history = train_process(
+        model, train, val, num_classes=ncls,
+        config=TrainConfig(num_epochs=2, batch_size=8, learning_rate=1e-3,
+                           image_dtype="float32", augment=False),
+    )
+    assert np.isfinite(history["train_loss"]).all()
+    assert history["train_loss"][-1] < history["train_loss"][0]
