@@ -184,10 +184,15 @@ def import_densenet(
     sd: Dict[str, np.ndarray],
     block_config: Sequence[int] = (6, 12, 32, 32),
     prefix: str = "",
+    features_key: str = "features.",
 ) -> Tuple[Dict, Dict]:
     """torchvision DenseNet (features.conv0/norm0, denseblock{k}.denselayer{j},
-    transition{k}, norm5) -> skinjax cnn_zoo.DenseNet (params, batch_stats)."""
-    P = lambda s: f"{prefix}features.{s}"
+    transition{k}, norm5) -> skinjax cnn_zoo.DenseNet (params, batch_stats).
+
+    ``features_key=""`` handles checkpoints where ``densenet.features`` was
+    re-assigned directly (the reference MDNet's ``feature_extractor``,
+    multimodalMDNet.py:72)."""
+    P = lambda s: f"{prefix}{features_key}{s}"
     params: Dict = {}
     stats: Dict = {}
     params["conv0"] = t2f_conv(sd, P("conv0"))
@@ -330,6 +335,43 @@ def import_efficientnet(
     head_i = len(cfg) + 1
     params["head"] = t2f_conv(sd, P(f"{head_i}.0"))
     put_bn("head_bn", f"{head_i}.1")
+    return params, stats
+
+
+def import_mdnet(
+    sd: Dict[str, np.ndarray],
+    block_config: Sequence[int] = (6, 12, 32, 32),
+) -> Tuple[Dict, Dict]:
+    """Reference MDNet checkpoint (multimodalMDNet.py:60-102:
+    feature_extractor densenet features, meta_net 1x1 convs, meta_block
+    fb/gb Linear+LN, classifier) -> skinjax baselines.MDNet (params, stats).
+
+    Note: the reference feeds the head from the features' final norm without
+    the classification ReLU (a quirk); skinjax's DenseNet applies the
+    torchvision-forward ReLU — identical gradients almost everywhere, small
+    activation difference at exactly-zero pre-activations."""
+    enc_p, enc_s = import_densenet(
+        sd, block_config, prefix="feature_extractor.", features_key=""
+    )
+    # compact-created backbone gets linen's auto name
+    params: Dict = {"DenseNet_0": enc_p}
+    stats: Dict = {"DenseNet_0": enc_s}
+
+    def conv1x1_to_dense(key: str) -> Dict:
+        w = sd[f"{key}.weight"][:, :, 0, 0]  # (out, in, 1, 1)
+        return {"kernel": np.ascontiguousarray(w.T), "bias": sd[f"{key}.bias"]}
+
+    params["meta_net"] = {
+        "fc1": conv1x1_to_dense("meta_net.metanet.0"),
+        "fc2": conv1x1_to_dense("meta_net.metanet.2"),
+    }
+    params["meta_block"] = {
+        "fb": t2f_linear(sd, "meta_block.fb.0"),
+        "fb_norm": t2f_ln(sd, "meta_block.fb.1"),
+        "gb": t2f_linear(sd, "meta_block.gb.0"),
+        "gb_norm": t2f_ln(sd, "meta_block.gb.1"),
+    }
+    params["classifier"] = t2f_linear(sd, "classifier")
     return params, stats
 
 

@@ -153,3 +153,120 @@ def test_swin_import_matches_torch():
         ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
     out = fm.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
+
+
+def test_mdnet_import_matches_torch():
+    """Reference-layout MDNet checkpoint -> skinjax MDNet output parity
+    (the final-ReLU quirk aside — the oracle here applies the torchvision
+    forward ReLU like skinjax does)."""
+    import torch.nn.functional as F
+
+    from skinjax.models.baselines import MDNet
+    from skinjax.models.torch_import import import_mdnet
+    from tests.test_more_importers import (  # reuse the densenet oracle
+        test_densenet_import_matches_torch as _,
+    )
+
+    block_config = (2, 3)
+    growth, init_f = 8, 16
+    META, NCLS = 5, 3
+
+    # inline torch MDNet with reference naming
+    from tests.torch_ref import TorchResNet  # noqa: F401 (import side check)
+
+    class TDenseLayer(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.norm1 = nn.BatchNorm2d(cin)
+            self.conv1 = nn.Conv2d(cin, 4 * growth, 1, bias=False)
+            self.norm2 = nn.BatchNorm2d(4 * growth)
+            self.conv2 = nn.Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+
+        def forward(self, x):
+            y = self.conv1(torch.relu(self.norm1(x)))
+            y = self.conv2(torch.relu(self.norm2(y)))
+            return torch.cat([x, y], 1)
+
+    class TFeatures(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv0 = nn.Conv2d(3, init_f, 7, 2, 3, bias=False)
+            self.norm0 = nn.BatchNorm2d(init_f)
+            cin = init_f
+            for bi, n in enumerate(block_config, start=1):
+                blk = nn.Module()
+                for li in range(1, n + 1):
+                    setattr(blk, f"denselayer{li}", TDenseLayer(cin))
+                    cin += growth
+                setattr(self, f"denseblock{bi}", blk)
+                if bi != len(block_config):
+                    tr = nn.Module()
+                    tr.norm = nn.BatchNorm2d(cin)
+                    cin //= 2
+                    tr.conv = nn.Conv2d(tr.norm.num_features, cin, 1, bias=False)
+                    setattr(self, f"transition{bi}", tr)
+            self.norm5 = nn.BatchNorm2d(cin)
+            self.out_ch = cin
+
+        def forward(self, x):
+            x = torch.max_pool2d(torch.relu(self.norm0(self.conv0(x))), 3, 2, 1)
+            for bi in range(1, len(block_config) + 1):
+                blk = getattr(self, f"denseblock{bi}")
+                for li in range(1, block_config[bi - 1] + 1):
+                    x = getattr(blk, f"denselayer{li}")(x)
+                if bi != len(block_config):
+                    tr = getattr(self, f"transition{bi}")
+                    x = F.avg_pool2d(tr.conv(torch.relu(tr.norm(x))), 2, 2)
+            return torch.relu(self.norm5(x))
+
+    class TMDNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.feature_extractor = TFeatures()
+            C = self.feature_extractor.out_ch
+            mn = nn.Module()
+            mn.metanet = nn.Sequential(
+                nn.Conv2d(META, 64, 1), nn.ReLU(), nn.Conv2d(64, C, 1),
+                nn.Sigmoid(),
+            )
+            self.meta_net = mn
+            mb = nn.Module()
+            mb.fb = nn.Sequential(nn.Linear(META, C), nn.LayerNorm(C))
+            mb.gb = nn.Sequential(nn.Linear(META, C), nn.LayerNorm(C))
+            self.meta_block = mb
+            self.classifier = nn.Linear(C, NCLS)
+
+        def forward(self, img, meta):
+            f = self.feature_extractor(img)
+            gates = self.meta_net.metanet(meta[:, :, None, None])
+            gated = f * gates
+            t1 = self.meta_block.fb(meta)[:, :, None, None]
+            t2 = self.meta_block.gb(meta)[:, :, None, None]
+            modulated = torch.sigmoid(torch.tanh(f * t1) + t2)
+            fused = gated + modulated
+            pooled = fused.mean(dim=(2, 3))
+            return self.classifier(pooled)
+
+    torch.manual_seed(11)
+    tm = TMDNet().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = import_mdnet(sd, block_config)
+
+    # scaled-down skinjax MDNet over a matching mini-densenet backbone
+    from skinjax.models.backbones import register
+    from skinjax.models.backbones.cnn_zoo import DenseNet
+
+    register("densenet_mini_test",
+             lambda name=None, dtype=None, common_dim=512: DenseNet(
+                 block_config=block_config, growth_rate=growth,
+                 init_features=init_f, dtype=dtype),
+             tm.feature_extractor.out_ch)
+    fm = MDNet(num_classes=NCLS, meta_dim=META, hidden_dim=64,
+               cnn_model_name="densenet_mini_test")
+    x = np.random.default_rng(11).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    meta = np.random.default_rng(12).normal(size=(2, META)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(meta)).numpy()
+    out = fm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(x), jnp.asarray(meta))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
