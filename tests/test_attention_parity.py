@@ -80,3 +80,60 @@ def test_seq1_grad_matches_general_path():
 
     gx = jax.grad(loss_fast, argnums=1)(params, x)
     np.testing.assert_allclose(np.asarray(gx), tx.grad.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_gated_residual_block_matches_torch():
+    """GatedAlteredResidualBlock (and the stacked variant) vs the reference
+    math implemented inline in torch (gatedResidualBlock.py:4-42)."""
+    from skinjax.models.fusion.blocks import (
+        GatedAlteredResidualBlock,
+        StackedGatedResidualBlock,
+    )
+
+    dim, B = 32, 4
+
+    class TGRB(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm = torch.nn.LayerNorm(dim)
+            self.attn = torch.nn.MultiheadAttention(dim, 8, batch_first=True)
+            self.gate_linear = torch.nn.Linear(dim, dim)
+
+        def forward(self, q, k, v):
+            a, _ = self.attn(q, k, v)
+            g = torch.sigmoid(self.gate_linear(q))
+            return self.norm(g * a + (1 - g) * q)
+
+    torch.manual_seed(21)
+    tm = TGRB().eval()
+    params = {
+        "attn": _import_torch_mha_params(tm.attn, dim),
+        "gate_linear": {
+            "kernel": jnp.asarray(tm.gate_linear.weight.detach().numpy().T),
+            "bias": jnp.asarray(tm.gate_linear.bias.detach().numpy()),
+        },
+        "norm": {
+            "scale": jnp.asarray(tm.norm.weight.detach().numpy()),
+            "bias": jnp.asarray(tm.norm.bias.detach().numpy()),
+        },
+    }
+    rng = np.random.default_rng(21)
+    q = rng.normal(size=(B, 1, dim)).astype(np.float32)
+    kv = rng.normal(size=(B, 1, dim)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(q), torch.tensor(kv), torch.tensor(kv)).numpy()
+    blk = GatedAlteredResidualBlock(dim=dim, num_heads=8)
+    out = blk.apply({"params": params}, jnp.asarray(q), jnp.asarray(kv),
+                    jnp.asarray(kv), deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+    # stacked variant threads q while k/v stay fixed
+    stacked = StackedGatedResidualBlock(dim=dim, depth=2, num_heads=8)
+    sp = {"block_0": params, "block_1": params}
+    out2 = stacked.apply({"params": sp}, jnp.asarray(q), jnp.asarray(kv),
+                         jnp.asarray(kv), deterministic=True)
+    with torch.no_grad():
+        r = torch.tensor(q)
+        for _ in range(2):
+            r = tm(r, torch.tensor(kv), torch.tensor(kv))
+    np.testing.assert_allclose(np.asarray(out2), r.numpy(), atol=5e-5, rtol=5e-5)
