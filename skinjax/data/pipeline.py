@@ -171,22 +171,39 @@ def prefetch_batches(
     a daemon thread ahead of consumption."""
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = object()
+    cancelled = threading.Event()
     error: list = []
+
+    def _put(item) -> bool:
+        # bounded put that re-checks cancellation, so an abandoned consumer
+        # (break / exception in the train loop) can't strand the producer
+        # blocked forever on a full queue (ADVICE r1)
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for row in index_matrix:
-                q.put(source.batch(row))
+                if cancelled.is_set() or not _put(source.batch(row)):
+                    return
         except BaseException as e:  # surface loader failures to the consumer
             error.append(e)
         finally:
-            q.put(stop)
+            _put(stop)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        cancelled.set()

@@ -71,7 +71,13 @@ class MultiHeadAttention(nn.Module):
             name=name,
         )
 
-        seq1 = q.shape[1] == 1 and k.shape[1] == 1 and mask is None
+        # torch MHA with dropout>0 in training would drop/rescale even the
+        # single attention weight, so the collapse is only exact when
+        # attention dropout is inert (ADVICE r1)
+        seq1 = (
+            q.shape[1] == 1 and k.shape[1] == 1 and mask is None
+            and (self.dropout_rate == 0.0 or deterministic)
+        )
         if seq1:
             # Exact seq-1 collapse: softmax over one key == 1, so the output
             # is out_proj(v_proj(v)). q/k projections receive exactly-zero

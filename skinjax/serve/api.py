@@ -39,7 +39,9 @@ def _parse_multipart(body: bytes, content_type: str):
         # legitimately end in '-', '\r' or '\n')
         if payload.endswith(b"\r\n"):
             payload = payload[:-2]
-        nm = re.search(rb'name="([^"]+)"', head)
+        # anchor to a parameter boundary so 'filename="..."' can't shadow
+        # the 'name' parameter (ADVICE r1)
+        nm = re.search(rb'(?:^|;\s*)name="([^"]+)"', head, re.M)
         if nm:
             fields[nm.group(1).decode()] = payload
     return fields

@@ -11,6 +11,7 @@ shows the prediction plus a Grad-CAM++ heatmap overlay.
 from __future__ import annotations
 
 import base64
+import html
 import io
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -134,11 +135,12 @@ def make_xai_handler(engine, model, variables):
                 b64 = base64.b64encode(buf.tobytes()).decode()
 
                 probs = "".join(
-                    f"<li>{c}: {p:.3f}</li>"
+                    f"<li>{html.escape(str(c))}: {p:.3f}</li>"
                     for c, p in zip(engine.class_names, result["probabilities"])
                 )
                 res = (
-                    f"<h3>Prediction: {result['predicted_classname']}</h3>"
+                    f"<h3>Prediction: "
+                    f"{html.escape(str(result['predicted_classname']))}</h3>"
                     f"<ul>{probs}</ul>"
                     f'<img src="data:image/png;base64,{b64}" alt="Grad-CAM++">'
                 )
@@ -147,7 +149,12 @@ def make_xai_handler(engine, model, variables):
                 )
                 self._html(page)
             except Exception as e:  # noqa: BLE001 - serving boundary
-                self._html(f"<pre>error: {type(e).__name__}: {e}</pre>", 500)
+                # exception text can embed user-supplied form values —
+                # escape to avoid reflected XSS (ADVICE r1)
+                self._html(
+                    f"<pre>error: {type(e).__name__}: "
+                    f"{html.escape(str(e))}</pre>", 500,
+                )
 
         def log_message(self, fmt, *args):
             pass

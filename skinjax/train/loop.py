@@ -205,6 +205,12 @@ def train_process(
                     prog = {"epoch": int(f.read().strip())}
             start_epoch = int(prog["epoch"]) + 1
             state = restore_checkpoint(ckpt_dir, state)
+            # restore the best-so-far weights: without these, a resumed run
+            # that never beats the pre-crash best would fall back to the
+            # final-epoch state in load_best() (ADVICE r1, medium)
+            best_dir = os.path.join(resume_dir, "best")
+            if os.path.exists(best_dir):
+                early.best_state = restore_checkpoint(best_dir, state)
             # restore scheduler/early-stopping trajectory
             plateau.lr = prog.get("plateau_lr", plateau.lr)
             plateau.best = prog.get("plateau_best", plateau.best)
@@ -272,7 +278,7 @@ def train_process(
         # input state buffers, so a device-resident "best" snapshot would be
         # invalidated by the next epoch's first step. Host copy == the
         # reference's state_dict deepcopy (early_stopping.py:63).
-        early(
+        improved = early(
             val_loss=val_loss,
             val_bacc=float(metrics["balanced_accuracy"]),
             state=lambda s=state: jax.device_get(s),
@@ -283,6 +289,9 @@ def train_process(
 
             from skinjax.train.checkpoint import save_checkpoint
 
+            if improved:
+                save_checkpoint(os.path.join(resume_dir, "best"),
+                                early.best_state)
             save_checkpoint(os.path.join(resume_dir, "latest"), state)
             with open(os.path.join(resume_dir, "progress.json"), "w") as f:
                 json.dump({

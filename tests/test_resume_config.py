@@ -50,6 +50,31 @@ def test_mid_training_resume(tmp_path):
     assert "plateau_lr" in prog and "early_counter" in prog
 
 
+def test_resume_restores_best_weights(tmp_path):
+    """A 'best' checkpoint is written on improvement and restored on resume,
+    so load_best() after a resume returns the true pre-crash best even when
+    no later epoch improves (ADVICE r1, medium)."""
+    src = synthetic_source(n=48, image_size=(24, 24), feature_dim=12, num_classes=3)
+    train = SubsetSource(src, np.arange(32))
+    val = SubsetSource(src, np.arange(32, 48))
+    rd = str(tmp_path / "resume_best")
+    cfg = TrainConfig(num_epochs=2, batch_size=16, image_dtype="float32",
+                      augment=False)
+    s1, _, _ = train_process(_model(), train, val, 3, config=cfg, resume_dir=rd)
+    assert os.path.exists(os.path.join(rd, "best"))
+
+    # resume with zero additional epochs: the loop body never runs, so the
+    # returned best state must come from the restored 'best' checkpoint
+    cfg_same = TrainConfig(num_epochs=2, batch_size=16, image_dtype="float32",
+                           augment=False)
+    s2, _, _ = train_process(_model(), train, val, 3, config=cfg_same,
+                             resume_dir=rd)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_folds_for_this_host():
     assert folds_for_this_host(5, index=0, count=2) == [1, 3, 5]
     assert folds_for_this_host(5, index=1, count=2) == [2, 4]
