@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from skinjax.models.backbones import (
     cnn_zoo,
+    davit,
     metaformer_zoo,
     resnet,
     transformer_zoo,
@@ -77,7 +78,7 @@ register("caformer_s18", _simple(metaformer_zoo.caformer_s18), 512)
 register("mvitv2_small", _simple(metaformer_zoo.mvitv2_small), 768)
 register("nextvit_small", _simple(metaformer_zoo.nextvit_small), 768)
 register("coat_lite_small", _simple(metaformer_zoo.coat_lite_small), 512)
-register("davit_tiny", _simple(transformer_zoo.davit_tiny), 768)
+register("davit_tiny", _simple(davit.davit_tiny), 768)
 register("vit_tiny_patch16_224", _simple(vit.vit_tiny), 192)
 register("vit_small_patch16_224", _simple(vit.vit_small), 384)
 register("vit_base_patch16_224", _simple(vit.vit_base), 768)

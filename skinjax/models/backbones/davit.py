@@ -1,0 +1,194 @@
+"""DaViT — timm-layout dual-attention vision transformer (Flax, NHWC).
+
+The reference's best-BACC backbone (``davit_tiny`` 0.8228,
+frugality_bacc_by_models.py:5-17) is loaded through timm with
+``reset_classifier(0)`` (loadImageModelClassifier.py:117-121), so parity
+means the FULL timm forward: stem → 4 stages of (SpatialBlock, ChannelBlock)
+pairs → global-avg-pool → head LayerNorm. This module mirrors the timm
+``davit.py`` layer layout exactly (ConvPosEnc residuals, window attention
+without relative bias, the k-scaled (hd×hd) channel attention, norm→conv
+downsampling) so published weights import via
+``skinjax.models.torch_import.import_davit``.
+
+TPU notes: runs NHWC end-to-end; window partition is reshape/transpose that
+XLA folds into the attention einsums; channel attention is a (hd×hd) MXU
+matmul per head; attention logits accumulate in fp32; ConvPosEnc is a
+depthwise 3×3 conv the XLA fuser merges into the surrounding elementwise adds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from skinjax.models.backbones.transformer_zoo import (
+    window_partition,
+    window_reverse,
+)
+
+
+class ConvPosEnc(nn.Module):
+    """Depthwise 3×3 conv added residually (timm davit ConvPosEnc, act=False)."""
+
+    dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.dim, (3, 3), padding=[(1, 1)] * 2,
+                    feature_group_count=self.dim, dtype=self.dtype, name="proj")(x)
+        return x + y
+
+
+class DaViTWindowAttention(nn.Module):
+    """Window MHA without relative bias (timm davit WindowAttention)."""
+
+    dim: int
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        nB, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(nB, N, 3, h, hd), 3, axis=2)
+        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        scale = hd ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(nB, N, C))
+
+
+class DaViTChannelAttention(nn.Module):
+    """timm davit ChannelAttention: scaled keys, (hd×hd) token-aggregated
+    attention, output re-expanded through the queries."""
+
+    dim: int
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd), 3, axis=2)
+        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        scale = hd ** -0.5
+        # attn[c,d] = sum_n (k*scale)[n,c] v[n,d]   (timm: k^T @ v)
+        attn = jnp.einsum("bhnc,bhnd->bhcd", k * scale, v,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        # out[n,c] = sum_d attn[c,d] q[n,d]         (timm: (attn @ q^T)^T)
+        out = jnp.einsum("bhcd,bhnd->bhnc", attn, q)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class DaViTMlp(nn.Module):
+    dim: int
+    ratio: float = 4.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(int(self.dim * self.ratio), dtype=self.dtype, name="fc1")(x)
+        y = nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+
+
+class SpatialBlock(nn.Module):
+    """cpe1 → LN → window attention → +res → cpe2 → LN → MLP → +res."""
+
+    dim: int
+    num_heads: int
+    window: int = 7
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        y = window_partition(y, self.window)
+        y = DaViTWindowAttention(self.dim, self.num_heads, dtype=self.dtype,
+                                 name="attn")(y)
+        y = window_reverse(y, self.window, H, W)
+        x = x + y
+        x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        return x + DaViTMlp(self.dim, dtype=self.dtype, name="mlp")(y)
+
+
+class ChannelBlock(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe1")(x)
+        t = x.reshape(B, H * W, C)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(t)
+        y = DaViTChannelAttention(self.dim, self.num_heads, dtype=self.dtype,
+                                  name="attn")(y)
+        x = (t + y).reshape(B, H, W, C)
+        x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        return x + DaViTMlp(self.dim, dtype=self.dtype, name="mlp")(y)
+
+
+class DaViTDownsample(nn.Module):
+    """timm davit Downsample: LayerNorm(in) → conv 2×2 stride 2."""
+
+    out_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Conv(self.out_dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+                       name="conv")(x)
+
+
+class DaViT(nn.Module):
+    """timm ``davit_tiny`` topology. Returns the timm ``reset_classifier(0)``
+    output — head-LayerNorm(global-avg-pool(features)), shape (B, dims[-1]) —
+    by default; ``features=True`` returns the pre-pool NHWC map (for CAM)."""
+
+    dims: Sequence[int] = (96, 192, 384, 768)
+    depths: Sequence[int] = (1, 1, 3, 1)
+    heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, features: bool = False):
+        x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4), padding=[(3, 3)] * 2,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="stem_norm")(x)
+        for si, (dim, depth, h) in enumerate(zip(self.dims, self.depths, self.heads)):
+            if si > 0:
+                x = DaViTDownsample(dim, dtype=self.dtype, name=f"down{si}")(x)
+            for bi in range(depth):
+                x = SpatialBlock(dim, h, self.window, dtype=self.dtype,
+                                 name=f"stage{si}_block{bi}_spatial")(x)
+                x = ChannelBlock(dim, h, dtype=self.dtype,
+                                 name=f"stage{si}_block{bi}_channel")(x)
+        if features:
+            return x
+        x = x.mean(axis=(1, 2))
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
+
+
+davit_tiny = partial(DaViT)

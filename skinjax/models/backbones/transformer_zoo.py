@@ -1,15 +1,13 @@
-"""Hierarchical vision transformers: Swin-tiny and DaViT-tiny (Flax, NHWC).
+"""Swin transformer backbone + shared window-partition helpers (Flax, NHWC).
 
-These are the timm-class backbones the reference sweeps through its generic
-loader (loadImageModelClassifier.py:115-150); davit_tiny is the
-best-balanced-accuracy backbone in the published table (BASELINE.md: 0.8228).
+timm ``swin_tiny_patch4_window7_224`` topology, swept by the reference's
+generic timm loader (loadImageModelClassifier.py:115-150). DaViT lives in
+``skinjax.models.backbones.davit``.
 
 TPU notes: window partition is pure reshape/transpose (layout ops XLA folds
 into the attention einsums); window attention runs as one batched MHA over
 (B·num_windows) with fp32 softmax; Swin's shifted windows use jnp.roll
-(a cheap HBM-contiguous rotation) + a precomputed static attention mask;
-DaViT's channel attention is a (C/h × C/h) MXU matmul per head — no gathers
-anywhere on the hot path.
+(a cheap HBM-contiguous rotation) + a precomputed static attention mask.
 """
 
 from __future__ import annotations
@@ -140,74 +138,6 @@ class SwinBlock(nn.Module):
         return x + Mlp(self.dim, dtype=self.dtype, name="mlp")(y)
 
 
-class ChannelAttention(nn.Module):
-    """DaViT channel-group attention: tokens attend across channels."""
-
-    dim: int
-    num_heads: int
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        B, N, C = x.shape
-        h = self.num_heads
-        hd = C // h
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd), 3, axis=2)
-        q, k, v = (t[:, :, 0].transpose(0, 2, 3, 1) for t in (q, k, v))  # (B,h,hd,N)
-        scale = 1.0 / jnp.sqrt(N)
-        attn = jnp.einsum("bhcn,bhdn->bhcd", q * scale, k,
-                          preferred_element_type=jnp.float32)  # (B,h,hd,hd)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhcd,bhdn->bhcn", attn, v)  # (B,h,hd,N)
-        out = out.transpose(0, 3, 1, 2).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
-
-
-class DaViTDualBlock(nn.Module):
-    """Spatial window block + channel group block (one DaViT 'dual' unit)."""
-
-    dim: int
-    num_heads: int
-    window: int = 7
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        B, H, W, C = x.shape
-        # spatial window attention
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="snorm1")(x)
-        y = window_partition(y, self.window)
-        y = WindowAttention(
-            self.dim, self.num_heads, self.window, dtype=self.dtype, name="sattn"
-        )(y)
-        y = window_reverse(y, self.window, H, W)
-        x = x + y
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="snorm2")(x)
-        x = x + Mlp(self.dim, dtype=self.dtype, name="smlp")(y)
-
-        # channel group attention over the token sequence
-        t = x.reshape(B, H * W, C)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cnorm1")(t)
-        y = ChannelAttention(self.dim, self.num_heads, dtype=self.dtype,
-                             name="cattn")(y)
-        t = t + y
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cnorm2")(t)
-        t = t + Mlp(self.dim, dtype=self.dtype, name="cmlp")(y)
-        return t.reshape(B, H, W, C)
-
-
-class PatchMerge(nn.Module):
-    out_dim: int
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Conv(
-            self.out_dim, (2, 2), strides=(2, 2), dtype=self.dtype, name="conv"
-        )(x)
-
-
 class SwinPatchMerge(nn.Module):
     """timm-layout patch merging: 2×2 slice-concat → LayerNorm(4C) →
     Linear(4C→2C, no bias). Import-compatible with timm Swin checkpoints."""
@@ -251,28 +181,4 @@ class Swin(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
-class DaViT(nn.Module):
-    dims: Sequence[int] = (96, 192, 384, 768)
-    depths: Sequence[int] = (1, 1, 3, 1)
-    heads: Sequence[int] = (3, 6, 12, 24)
-    window: int = 7
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4),
-                    padding=[(3, 3)] * 2, dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
-        for si, (dim, depth, h) in enumerate(zip(self.dims, self.depths, self.heads)):
-            if si > 0:
-                x = PatchMerge(dim, dtype=self.dtype, name=f"merge{si}")(x)
-            for bi in range(depth):
-                x = DaViTDualBlock(
-                    dim, h, self.window, dtype=self.dtype,
-                    name=f"stage{si}_dual{bi}",
-                )(x)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-
-
 swin_tiny = partial(Swin)
-davit_tiny = partial(DaViT)

@@ -431,6 +431,63 @@ def import_swin(
     return params
 
 
+def _t2f_dwconv(sd: Dict, prefix: str) -> Dict:
+    """torch depthwise conv (C,1,kh,kw) -> flax grouped-conv HWIO (kh,kw,1,C)."""
+    out = {"kernel": np.ascontiguousarray(
+        sd[f"{prefix}.weight"].transpose(2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def import_davit(
+    sd: Dict[str, np.ndarray],
+    depths: Sequence[int] = (1, 1, 3, 1),
+    prefix: str = "",
+) -> Dict:
+    """timm DaViT (stem.{conv,norm}, stages.{i}.downsample.{norm,conv},
+    stages.{i}.blocks.{j}.{0,1}.{cpe1.proj,norm1,attn.{qkv,proj},cpe2.proj,
+    norm2,mlp.{fc1,fc2}}, head.norm) -> skinjax davit.DaViT params.
+
+    Matches the reference's generic timm loading of ``davit_tiny``
+    (loadImageModelClassifier.py:117-121, reset_classifier(0) keeps
+    head.norm)."""
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {
+        "stem_conv": t2f_conv(sd, P("stem.conv")),
+        "stem_norm": t2f_ln(sd, P("stem.norm")),
+        "head_norm": t2f_ln(sd, P("head.norm")),
+    }
+
+    def block(B: str) -> Dict:
+        return {
+            "cpe1": {"proj": _t2f_dwconv(sd, P(f"{B}.cpe1.proj"))},
+            "norm1": t2f_ln(sd, P(f"{B}.norm1")),
+            "attn": {
+                "qkv": t2f_linear(sd, P(f"{B}.attn.qkv")),
+                "proj": t2f_linear(sd, P(f"{B}.attn.proj")),
+            },
+            "cpe2": {"proj": _t2f_dwconv(sd, P(f"{B}.cpe2.proj"))},
+            "norm2": t2f_ln(sd, P(f"{B}.norm2")),
+            "mlp": {
+                "fc1": t2f_linear(sd, P(f"{B}.mlp.fc1")),
+                "fc2": t2f_linear(sd, P(f"{B}.mlp.fc2")),
+            },
+        }
+
+    for si, depth in enumerate(depths):
+        if si > 0:
+            params[f"down{si}"] = {
+                "norm": t2f_ln(sd, P(f"stages.{si}.downsample.norm")),
+                "conv": t2f_conv(sd, P(f"stages.{si}.downsample.conv")),
+            }
+        for bi in range(depth):
+            B = f"stages.{si}.blocks.{bi}"
+            params[f"stage{si}_block{bi}_spatial"] = block(f"{B}.0")
+            params[f"stage{si}_block{bi}_channel"] = block(f"{B}.1")
+    return params
+
+
 def import_vgg16(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
     """torchvision VGG16 (features.{0,2,5,7,10,12,14,17,19,21,24,26,28} convs,
     classifier.{0,3} kept after the reference strips classifier[-1],

@@ -6,8 +6,8 @@ import jax
 import jax.numpy as jnp
 
 from skinjax.models.backbones import create_backbone
+from skinjax.models.backbones.davit import DaViT
 from skinjax.models.backbones.transformer_zoo import (
-    DaViT,
     Swin,
     window_partition,
     window_reverse,
@@ -29,7 +29,10 @@ def test_tiny_transformer_forward(cls):
     x = jnp.zeros((2, 56, 56, 3))
     variables = model.init(jax.random.key(0), x)
     out = model.apply(variables, x)
-    assert out.shape[0] == 2 and out.shape[-1] == 32 and out.ndim == 4
+    # Swin returns the normed NHWC map; DaViT (timm reset_classifier(0)
+    # parity) returns the pooled+head-normed vector
+    assert out.shape[0] == 2 and out.shape[-1] == 32
+    assert out.ndim == (2 if cls is DaViT else 4)
     assert np.isfinite(np.asarray(out)).all()
 
 
