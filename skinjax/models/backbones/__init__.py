@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from skinjax.models.backbones import (
+    beit,
     cnn_zoo,
     davit,
     metaformer_zoo,
@@ -83,4 +84,4 @@ register("vit_tiny_patch16_224", _simple(vit.vit_tiny), 192)
 register("vit_small_patch16_224", _simple(vit.vit_small), 384)
 register("vit_base_patch16_224", _simple(vit.vit_base), 768)
 register("vit_large_patch16_224", _simple(vit.vit_large), 1024)
-register("beitv2_large_patch16_224", _simple(vit.beitv2_large), 1024)
+register("beitv2_large_patch16_224", _simple(beit.beitv2_large), 1024)

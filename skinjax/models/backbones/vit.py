@@ -91,7 +91,4 @@ vit_tiny = partial(ViT, dim=192, depth=12, num_heads=3)
 vit_small = partial(ViT, dim=384, depth=12, num_heads=6)
 vit_base = partial(ViT, dim=768, depth=12, num_heads=12)
 vit_large = partial(ViT, dim=1024, depth=24, num_heads=16)
-# BEiT-v2 large (loadImageModelClassifier timm path; mean-pooled, layerscale)
-beitv2_large = partial(
-    ViT, dim=1024, depth=24, num_heads=16, pool="mean", layerscale_init=1e-5
-)
+# BEiT-v2 lives in skinjax.models.backbones.beit (timm-layout, importable)

@@ -488,6 +488,48 @@ def import_davit(
     return params
 
 
+def import_beit(sd: Dict[str, np.ndarray], depth: int, prefix: str = "") -> Dict:
+    """timm BEiT/BEiT-v2 (patch_embed.proj, cls_token, blocks.{i}.{norm1,
+    attn.{qkv.weight,q_bias,v_bias,proj,relative_position_bias_table},
+    gamma_1,gamma_2,norm2,mlp.{fc1,fc2}}, fc_norm) -> skinjax beit.Beit.
+    The relative_position_index buffers are recomputed statically; only the
+    bias tables transfer. Matches loadImageModelClassifier.py:117-121
+    (``beitv2_large_patch16_224``, reset_classifier(0) keeps fc_norm)."""
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {
+        "patch_embed": {
+            "kernel": np.ascontiguousarray(
+                sd[P("patch_embed.proj.weight")].transpose(2, 3, 1, 0)
+            ),
+            "bias": sd[P("patch_embed.proj.bias")],
+        },
+        "cls_token": sd[P("cls_token")],
+        "fc_norm": t2f_ln(sd, P("fc_norm")),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": t2f_ln(sd, P(f"{b}.norm1")),
+            "attn": {
+                "qkv_kernel": np.ascontiguousarray(
+                    sd[P(f"{b}.attn.qkv.weight")].T
+                ),
+                "q_bias": sd[P(f"{b}.attn.q_bias")],
+                "v_bias": sd[P(f"{b}.attn.v_bias")],
+                "rel_bias_table": sd[
+                    P(f"{b}.attn.relative_position_bias_table")
+                ],
+                "proj": t2f_linear(sd, P(f"{b}.attn.proj")),
+            },
+            "gamma_1": sd[P(f"{b}.gamma_1")],
+            "gamma_2": sd[P(f"{b}.gamma_2")],
+            "norm2": t2f_ln(sd, P(f"{b}.norm2")),
+            "mlp_fc1": t2f_linear(sd, P(f"{b}.mlp.fc1")),
+            "mlp_fc2": t2f_linear(sd, P(f"{b}.mlp.fc2")),
+        }
+    return params
+
+
 def import_vgg16(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
     """torchvision VGG16 (features.{0,2,5,7,10,12,14,17,19,21,24,26,28} convs,
     classifier.{0,3} kept after the reference strips classifier[-1],

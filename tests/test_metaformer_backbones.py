@@ -50,12 +50,12 @@ def test_beitv2_mean_pool_output():
     m, dim = create_backbone("beitv2_large_patch16_224")
     assert dim == 1024
     # scaled-down equivalent for execution
-    from skinjax.models.backbones.vit import ViT
+    from skinjax.models.backbones.beit import Beit
 
-    small = ViT(dim=32, depth=1, num_heads=2, patch=8, pool="mean",
-                layerscale_init=1e-5)
+    small = Beit(dim=32, depth=1, num_heads=2, patch=8)
     x = jnp.zeros((2, 32, 32, 3))
     variables = small.init(jax.random.key(0), x)
     out = small.apply(variables, x)
     assert out.shape == (2, 32)
-    assert "gamma1" in variables["params"]["block0"]
+    assert "gamma_1" in variables["params"]["block0"]  # timm beit layer scale
+    assert "rel_bias_table" in variables["params"]["block0"]["attn"]

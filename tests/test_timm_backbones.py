@@ -189,6 +189,110 @@ class TDaViT(nn.Module):
         return self.head.norm(x)
 
 
+# ---------------------------------------------------------------------------
+# BEiT-v2
+# ---------------------------------------------------------------------------
+
+class TBeitAttention(nn.Module):
+    def __init__(self, dim, heads, grid):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(dim, 3 * dim, bias=False)
+        self.q_bias = nn.Parameter(torch.randn(dim) * 0.02)
+        self.v_bias = nn.Parameter(torch.randn(dim) * 0.02)
+        self.register_buffer("k_bias", torch.zeros(dim), persistent=False)
+        gh, gw = grid
+        self.relative_position_bias_table = nn.Parameter(
+            torch.randn((2 * gh - 1) * (2 * gw - 1) + 3, heads) * 0.02
+        )
+        from skinjax.models.backbones.beit import beit_relative_position_index
+
+        self.register_buffer(
+            "rpi", torch.tensor(beit_relative_position_index(gh, gw)),
+            persistent=False,
+        )
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        h, hd = self.heads, C // self.heads
+        bias = torch.cat((self.q_bias, self.k_bias, self.v_bias))
+        qkv = torch.nn.functional.linear(x, self.qkv.weight, bias)
+        qkv = qkv.reshape(B, N, 3, h, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+        attn = attn + self.relative_position_bias_table[self.rpi].permute(
+            2, 0, 1
+        )[None]
+        attn = attn.softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(out)
+
+
+class TBeitBlock(nn.Module):
+    def __init__(self, dim, heads, grid):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = TBeitAttention(dim, heads, grid)
+        self.gamma_1 = nn.Parameter(torch.full((dim,), 1e-5))
+        self.gamma_2 = nn.Parameter(torch.full((dim,), 1e-5))
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        mlp = nn.Module()
+        mlp.fc1 = nn.Linear(dim, 4 * dim)
+        mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.mlp = mlp
+
+    def forward(self, x):
+        x = x + self.gamma_1 * self.attn(self.norm1(x))
+        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + self.gamma_2 * y
+
+
+class TBeit(nn.Module):
+    def __init__(self, dim, depth, heads, patch, img):
+        super().__init__()
+        pe = nn.Module()
+        pe.proj = nn.Conv2d(3, dim, patch, patch)
+        self.patch_embed = pe
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        grid = (img // patch, img // patch)
+        self.blocks = nn.ModuleList(
+            [TBeitBlock(dim, heads, grid) for _ in range(depth)]
+        )
+        self.fc_norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(x.shape[0], -1, -1), x], 1)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.fc_norm(x[:, 1:].mean(1))
+
+
+def test_beit_import_matches_torch():
+    from skinjax.models.backbones.beit import Beit
+    from skinjax.models.torch_import import import_beit
+
+    DIM, DEPTH, HEADS, PATCH, IMG = 32, 2, 4, 8, 48
+    torch.manual_seed(5)
+    tm = TBeit(DIM, DEPTH, HEADS, PATCH, IMG).eval()
+    # mess with gammas so layer scale actually transfers something nontrivial
+    with torch.no_grad():
+        for blk in tm.blocks:
+            blk.gamma_1.mul_(torch.randn_like(blk.gamma_1) * 10)
+            blk.gamma_2.mul_(torch.randn_like(blk.gamma_2) * 10)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = import_beit(sd, DEPTH)
+
+    fm = Beit(dim=DIM, depth=DEPTH, num_heads=HEADS, patch=PATCH)
+    x = np.random.default_rng(5).normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out = fm.apply({"params": params}, jnp.asarray(x))
+    assert out.shape == ref.shape == (2, DIM)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
+
+
 def test_davit_import_matches_torch():
     from skinjax.models.backbones.davit import DaViT
     from skinjax.models.torch_import import import_davit
