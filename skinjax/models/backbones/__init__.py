@@ -16,7 +16,9 @@ from flax import linen as nn
 
 from skinjax.models.backbones import (
     beit,
+    caformer,
     cnn_zoo,
+    coat,
     davit,
     metaformer_zoo,
     resnet,
@@ -74,11 +76,11 @@ register("mobilenet-v2", _simple(cnn_zoo.MobileNetV2), 1280)
 register("efficientnet-b0", _simple(cnn_zoo.EfficientNet, width=1.0, depth=1.0), 1280)
 register("efficientnet-b7", _simple(cnn_zoo.EfficientNet, width=2.0, depth=3.1), 2560)
 register("swin_tiny_patch4_window7_224", _simple(transformer_zoo.swin_tiny), 768)
-register("caformer_b36", _simple(metaformer_zoo.caformer_b36), 768)
-register("caformer_s18", _simple(metaformer_zoo.caformer_s18), 512)
+register("caformer_b36", _simple(caformer.caformer_b36), 768)
+register("caformer_s18", _simple(caformer.caformer_s18), 512)
 register("mvitv2_small", _simple(metaformer_zoo.mvitv2_small), 768)
 register("nextvit_small", _simple(metaformer_zoo.nextvit_small), 768)
-register("coat_lite_small", _simple(metaformer_zoo.coat_lite_small), 512)
+register("coat_lite_small", _simple(coat.coat_lite_small), 512)
 register("davit_tiny", _simple(davit.davit_tiny), 768)
 register("vit_tiny_patch16_224", _simple(vit.vit_tiny), 192)
 register("vit_small_patch16_224", _simple(vit.vit_small), 384)

@@ -1,0 +1,167 @@
+"""CAFormer — timm ``metaformer.py`` layout (Flax, NHWC).
+
+``caformer_s18``/``caformer_b36`` are swept by the reference's generic timm
+loader (loadImageModelClassifier.py:115-150; caformer_b36 BACC 0.8062 in the
+published table). The MetaFormer-baselines specifics that the previous
+paper-style sketch missed and this module reproduces exactly:
+
+- StarReLU activations (``s·relu(x)² + b`` with learnable scalars) in both
+  the SepConv mixer and the MLPs,
+- bias-free projections everywhere (qkv/proj/mlp/pwconv) and bias-free
+  LayerNorms (eps 1e-6) for block norms and downsample pre-norms,
+- residual scaling (``res_scale``) on the identity branch of stages 3/4,
+- stem conv 7×7/4 pad 2; downsampling = pre-norm → conv 3×3/2 pad 1,
+- head: global-avg-pool → LayerNorm (with bias) — what
+  ``reset_classifier(0)`` keeps.
+
+TPU notes: NHWC; 1×1 convs are Dense layers (pure MXU matmuls); the
+depthwise 7×7 stays a grouped conv XLA maps to the vector unit; attention
+(stages 3/4, 14²/7² tokens) runs one batched MHA with fp32 logits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class StarReLU(nn.Module):
+    """s * relu(x)^2 + b, learnable scalars (MetaFormer baselines §3)."""
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale", nn.initializers.ones, (1,))
+        b = self.param("bias", nn.initializers.zeros, (1,))
+        r = nn.relu(x)
+        return s.astype(x.dtype) * r * r + b.astype(x.dtype)
+
+
+def _ln_nb(dtype, name):
+    return nn.LayerNorm(epsilon=1e-6, use_bias=False, dtype=dtype, name=name)
+
+
+class SepConvMixer(nn.Module):
+    """pwconv1 → StarReLU → dw 7×7 → pwconv2, all bias-free."""
+
+    dim: int
+    expansion: float = 2.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        mid = int(self.dim * self.expansion)
+        y = nn.Dense(mid, use_bias=False, dtype=self.dtype, name="pwconv1")(x)
+        y = StarReLU(name="act1")(y)
+        y = nn.Conv(mid, (7, 7), padding=[(3, 3)] * 2, feature_group_count=mid,
+                    use_bias=False, dtype=self.dtype, name="dwconv")(y)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        name="pwconv2")(y)
+
+
+class MetaFormerAttention(nn.Module):
+    """Global MHA, head_dim=32, bias-free qkv/proj (timm metaformer)."""
+
+    dim: int
+    head_dim: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = max(1, C // self.head_dim)
+        hd = self.head_dim
+        att_dim = h * hd
+        t = x.reshape(B, H * W, C)
+        qkv = nn.Dense(3 * att_dim, use_bias=False, dtype=self.dtype,
+                       name="qkv")(t)
+        q, k, v = jnp.split(qkv.reshape(B, -1, 3, h, hd), 3, axis=2)
+        q, k, v = (a[:, :, 0].transpose(0, 2, 1, 3) for a in (q, k, v))
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(t.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3)
+        out = out.reshape(B, H * W, att_dim)
+        out = nn.Dense(C, use_bias=False, dtype=self.dtype, name="proj")(out)
+        return out.reshape(B, H, W, C)
+
+
+class MetaFormerMlp(nn.Module):
+    dim: int
+    ratio: float = 4.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(int(self.dim * self.ratio), use_bias=False,
+                     dtype=self.dtype, name="fc1")(x)
+        y = StarReLU(name="act")(y)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        name="fc2")(y)
+
+
+class MetaFormerBlock(nn.Module):
+    dim: int
+    mixer: str  # "conv" | "attention"
+    res_scale: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        def rs(name):
+            if not self.res_scale:
+                return None
+            return self.param(name, nn.initializers.ones, (self.dim,))
+
+        y = _ln_nb(self.dtype, "norm1")(x)
+        if self.mixer == "conv":
+            y = SepConvMixer(self.dim, dtype=self.dtype, name="token_mixer")(y)
+        else:
+            y = MetaFormerAttention(self.dim, dtype=self.dtype,
+                                    name="token_mixer")(y)
+        r1 = rs("res_scale1")
+        x = (x * r1.astype(x.dtype) if r1 is not None else x) + y
+        y = _ln_nb(self.dtype, "norm2")(x)
+        y = MetaFormerMlp(self.dim, dtype=self.dtype, name="mlp")(y)
+        r2 = rs("res_scale2")
+        return (x * r2.astype(x.dtype) if r2 is not None else x) + y
+
+
+class CAFormer(nn.Module):
+    """timm caformer topology: [SepConv, SepConv, Attention, Attention]
+    mixers, res_scale on stages 3/4. Returns the ``reset_classifier(0)``
+    output — head-LayerNorm(global-avg-pool), (B, dims[-1]) — by default;
+    ``features=True`` returns the final NHWC map."""
+
+    dims: Sequence[int] = (64, 128, 320, 512)
+    depths: Sequence[int] = (3, 3, 9, 3)
+    mixers: Sequence[str] = ("conv", "conv", "attention", "attention")
+    res_scale_stages: Sequence[bool] = (False, False, True, True)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, features: bool = False):
+        x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4), padding=[(2, 2)] * 2,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = _ln_nb(self.dtype, "stem_norm")(x)
+        for si, (dim, depth, mixer, rs) in enumerate(
+            zip(self.dims, self.depths, self.mixers, self.res_scale_stages)
+        ):
+            if si > 0:
+                x = _ln_nb(self.dtype, f"down{si}_norm")(x)
+                x = nn.Conv(dim, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                            dtype=self.dtype, name=f"down{si}_conv")(x)
+            for bi in range(depth):
+                x = MetaFormerBlock(dim, mixer, res_scale=rs, dtype=self.dtype,
+                                    name=f"stage{si}_block{bi}")(x)
+        if features:
+            return x
+        x = x.mean(axis=(1, 2))
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(x)
+
+
+caformer_s18 = partial(CAFormer, dims=(64, 128, 320, 512), depths=(3, 3, 9, 3))
+caformer_b36 = partial(CAFormer, dims=(128, 256, 512, 768), depths=(3, 12, 18, 3))

@@ -488,6 +488,116 @@ def import_davit(
     return params
 
 
+def _t2f_lin_any(sd: Dict, prefix: str) -> Dict:
+    """Linear or 1x1-Conv2d weight -> flax Dense (timm metaformer ships both
+    depending on the stage's tensor format)."""
+    w = sd[f"{prefix}.weight"]
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    out = {"kernel": np.ascontiguousarray(w.T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def import_caformer(
+    sd: Dict[str, np.ndarray],
+    depths: Sequence[int] = (3, 3, 9, 3),
+    mixers: Sequence[str] = ("conv", "conv", "attention", "attention"),
+    res_scale_stages: Sequence[bool] = (False, False, True, True),
+    prefix: str = "",
+) -> Dict:
+    """timm MetaFormer/CAFormer (stem.{conv,norm}, stages.{i}.downsample.
+    {norm,conv}, stages.{i}.blocks.{j}.{norm1,token_mixer.*,norm2,mlp.*,
+    res_scale{1,2}.scale}, head.norm) -> skinjax caformer.CAFormer params.
+    Block norms are bias-free (LayerNormNoBias); pwconv/mlp weights may be
+    Linear or 1x1 Conv2d — both accepted. Matches the reference's generic
+    timm loading (loadImageModelClassifier.py:117-121)."""
+    P = lambda s: f"{prefix}{s}"
+    ln_nb = lambda key: {"scale": sd[P(f"{key}.weight")]}
+    star = lambda key: {"scale": sd[P(f"{key}.scale")].reshape(1),
+                        "bias": sd[P(f"{key}.bias")].reshape(1)}
+    params: Dict = {
+        "stem_conv": t2f_conv(sd, P("stem.conv")),
+        "stem_norm": ln_nb("stem.norm"),
+        "head_norm": t2f_ln(sd, P("head.norm")),
+    }
+    for si, depth in enumerate(depths):
+        if si > 0:
+            params[f"down{si}_norm"] = ln_nb(f"stages.{si}.downsample.norm")
+            params[f"down{si}_conv"] = t2f_conv(
+                sd, P(f"stages.{si}.downsample.conv")
+            )
+        for bi in range(depth):
+            B = f"stages.{si}.blocks.{bi}"
+            if mixers[si] == "conv":
+                mixer = {
+                    "pwconv1": _t2f_lin_any(sd, P(f"{B}.token_mixer.pwconv1")),
+                    "act1": star(f"{B}.token_mixer.act1"),
+                    "dwconv": _t2f_dwconv(sd, P(f"{B}.token_mixer.dwconv")),
+                    "pwconv2": _t2f_lin_any(sd, P(f"{B}.token_mixer.pwconv2")),
+                }
+            else:
+                mixer = {
+                    "qkv": _t2f_lin_any(sd, P(f"{B}.token_mixer.qkv")),
+                    "proj": _t2f_lin_any(sd, P(f"{B}.token_mixer.proj")),
+                }
+            blk = {
+                "norm1": ln_nb(f"{B}.norm1"),
+                "token_mixer": mixer,
+                "norm2": ln_nb(f"{B}.norm2"),
+                "mlp": {
+                    "fc1": _t2f_lin_any(sd, P(f"{B}.mlp.fc1")),
+                    "act": star(f"{B}.mlp.act"),
+                    "fc2": _t2f_lin_any(sd, P(f"{B}.mlp.fc2")),
+                },
+            }
+            if res_scale_stages[si]:
+                blk["res_scale1"] = sd[P(f"{B}.res_scale1.scale")]
+                blk["res_scale2"] = sd[P(f"{B}.res_scale2.scale")]
+            params[f"stage{si}_block{bi}"] = blk
+    return params
+
+
+def import_coat(
+    sd: Dict[str, np.ndarray],
+    depths: Sequence[int] = (3, 4, 6, 3),
+    n_windows: int = 3,
+    prefix: str = "",
+) -> Dict:
+    """timm CoaT-lite (patch_embed{k}.{proj,norm}, cls_token{k},
+    cpe{k}.proj, crpe{k}.conv_list.{i}, serial_blocks{k}.{j}.{norm1,
+    factoratt_crpe.{qkv,proj},norm2,mlp.{fc1,fc2}}, norm4) -> skinjax
+    coat.CoaTLite params. Shared cpe/crpe are read from their model-level
+    keys (the duplicated per-block references torch state_dicts also carry
+    are ignored). Matches loadImageModelClassifier.py:115-150."""
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {"norm4": t2f_ln(sd, P("norm4"))}
+    for si, depth in enumerate(depths):
+        k = si + 1
+        params[f"patch_embed{k}_proj"] = t2f_conv(sd, P(f"patch_embed{k}.proj"))
+        params[f"patch_embed{k}_norm"] = t2f_ln(sd, P(f"patch_embed{k}.norm"))
+        params[f"cls_token{k}"] = sd[P(f"cls_token{k}")]
+        params[f"cpe{k}"] = {"proj": _t2f_dwconv(sd, P(f"cpe{k}.proj"))}
+        params[f"crpe{k}"] = {
+            f"conv{i}": _t2f_dwconv(sd, P(f"crpe{k}.conv_list.{i}"))
+            for i in range(n_windows)
+        }
+        for bi in range(depth):
+            B = f"serial_blocks{k}.{bi}"
+            params[f"serial{k}_{bi}_norm1"] = t2f_ln(sd, P(f"{B}.norm1"))
+            params[f"serial{k}_{bi}_qkv"] = t2f_linear(
+                sd, P(f"{B}.factoratt_crpe.qkv")
+            )
+            params[f"serial{k}_{bi}_proj"] = t2f_linear(
+                sd, P(f"{B}.factoratt_crpe.proj")
+            )
+            params[f"serial{k}_{bi}_norm2"] = t2f_ln(sd, P(f"{B}.norm2"))
+            params[f"serial{k}_{bi}_fc1"] = t2f_linear(sd, P(f"{B}.mlp.fc1"))
+            params[f"serial{k}_{bi}_fc2"] = t2f_linear(sd, P(f"{B}.mlp.fc2"))
+    return params
+
+
 def import_beit(sd: Dict[str, np.ndarray], depth: int, prefix: str = "") -> Dict:
     """timm BEiT/BEiT-v2 (patch_embed.proj, cls_token, blocks.{i}.{norm1,
     attn.{qkv.weight,q_bias,v_bias,proj,relative_position_bias_table},

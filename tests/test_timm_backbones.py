@@ -190,6 +190,175 @@ class TDaViT(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# CAFormer (timm metaformer layout)
+# ---------------------------------------------------------------------------
+
+class TStarReLU(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.scale = nn.Parameter(torch.ones(1))
+        self.bias = nn.Parameter(torch.zeros(1))
+
+    def forward(self, x):
+        r = torch.relu(x)
+        return self.scale * r * r + self.bias
+
+
+class TLayerNormNoBias(nn.Module):
+    """LN over channel dim (last), weight only, eps 1e-6."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):  # channels-last
+        mu = x.mean(-1, keepdim=True)
+        var = x.var(-1, unbiased=False, keepdim=True)
+        return (x - mu) / torch.sqrt(var + 1e-6) * self.weight
+
+
+class TSepConv(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        mid = 2 * dim
+        self.pwconv1 = nn.Linear(dim, mid, bias=False)
+        self.act1 = TStarReLU()
+        self.dwconv = nn.Conv2d(mid, mid, 7, padding=3, groups=mid, bias=False)
+        self.pwconv2 = nn.Linear(mid, dim, bias=False)
+
+    def forward(self, x):  # channels-last (B,H,W,C)
+        y = self.act1(self.pwconv1(x))
+        y = self.dwconv(y.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+        return self.pwconv2(y)
+
+
+class TMetaAttention(nn.Module):
+    def __init__(self, dim, head_dim=32):
+        super().__init__()
+        self.heads = max(1, dim // head_dim)
+        self.hd = head_dim
+        att = self.heads * head_dim
+        self.qkv = nn.Linear(dim, 3 * att, bias=False)
+        self.proj = nn.Linear(att, dim, bias=False)
+
+    def forward(self, x):  # (B,H,W,C)
+        B, H, W, C = x.shape
+        t = x.reshape(B, H * W, C)
+        qkv = self.qkv(t).reshape(B, -1, 3, self.heads, self.hd)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = ((q * self.hd ** -0.5) @ k.transpose(-2, -1)).softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, H * W, -1)
+        return self.proj(out).reshape(B, H, W, C)
+
+
+class TScale(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.scale = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        return x * self.scale
+
+
+class TMetaFormerBlock(nn.Module):
+    def __init__(self, dim, mixer, res_scale):
+        super().__init__()
+        self.norm1 = TLayerNormNoBias(dim)
+        self.token_mixer = TSepConv(dim) if mixer == "conv" else TMetaAttention(dim)
+        self.norm2 = TLayerNormNoBias(dim)
+        mlp = nn.Module()
+        mlp.fc1 = nn.Linear(dim, 4 * dim, bias=False)
+        mlp.act = TStarReLU()
+        mlp.fc2 = nn.Linear(4 * dim, dim, bias=False)
+        self.mlp = mlp
+        self.res_scale1 = TScale(dim) if res_scale else nn.Identity()
+        self.res_scale2 = TScale(dim) if res_scale else nn.Identity()
+
+    def forward(self, x):  # channels-last
+        x = self.res_scale1(x) + self.token_mixer(self.norm1(x))
+        y = self.mlp.fc2(self.mlp.act(self.mlp.fc1(self.norm2(x))))
+        return self.res_scale2(x) + y
+
+
+class TCAFormer(nn.Module):
+    def __init__(self, dims, depths, mixers, res_stages):
+        super().__init__()
+        stem = nn.Module()
+        stem.conv = nn.Conv2d(3, dims[0], 7, 4, 2)
+        stem.norm = TLayerNormNoBias(dims[0])
+        self.stem = stem
+        stages = []
+        for si, (dim, depth, mixer, rs) in enumerate(
+            zip(dims, depths, mixers, res_stages)
+        ):
+            stage = nn.Module()
+            if si > 0:
+                down = nn.Module()
+                down.norm = TLayerNormNoBias(dims[si - 1])
+                down.conv = nn.Conv2d(dims[si - 1], dim, 3, 2, 1)
+                stage.downsample = down
+            else:
+                stage.downsample = nn.Identity()
+            stage.blocks = nn.ModuleList(
+                [TMetaFormerBlock(dim, mixer, rs) for _ in range(depth)]
+            )
+            stages.append(stage)
+        self.stages = nn.ModuleList(stages)
+        head = nn.Module()
+        head.norm = nn.LayerNorm(dims[-1], eps=1e-6)
+        self.head = head
+
+    def forward(self, x):  # NCHW in, channels-last internally
+        x = self.stem.conv(x).permute(0, 2, 3, 1)
+        x = self.stem.norm(x)
+        for stage in self.stages:
+            if not isinstance(stage.downsample, nn.Identity):
+                x = stage.downsample.norm(x)
+                x = stage.downsample.conv(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            for blk in stage.blocks:
+                x = blk(x)
+        x = x.mean(dim=(1, 2))
+        return self.head.norm(x)
+
+
+def test_caformer_import_matches_torch():
+    from skinjax.models.backbones.caformer import CAFormer
+    from skinjax.models.torch_import import import_caformer
+
+    DIMS, DEPTHS = (16, 32), (1, 2)
+    MIXERS, RS = ("conv", "attention"), (False, True)
+    torch.manual_seed(7)
+    tm = TCAFormer(DIMS, DEPTHS, MIXERS, RS).eval()
+    # perturb StarReLU + res_scale params so they transfer nontrivially
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if "act" in name or "res_scale" in name:
+                p.add_(torch.randn_like(p) * 0.3)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = import_caformer(sd, DEPTHS, MIXERS, RS)
+
+    fm = CAFormer(dims=DIMS, depths=DEPTHS, mixers=MIXERS, res_scale_stages=RS)
+    x = np.random.default_rng(7).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out = fm.apply({"params": params}, jnp.asarray(x))
+    assert out.shape == ref.shape == (2, 32)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
+
+
+def test_caformer_import_accepts_conv1x1_pwconvs():
+    """timm ships conv-stage pwconv/mlp weights as 1x1 Conv2d in some
+    versions — the importer must accept (out,in,1,1) weights too."""
+    from skinjax.models.torch_import import _t2f_lin_any
+
+    w = np.arange(12, dtype=np.float32).reshape(3, 4)
+    sd = {"m.weight": w[:, :, None, None], "m.bias": np.zeros(3, np.float32)}
+    got = _t2f_lin_any(sd, "m")
+    np.testing.assert_allclose(got["kernel"], w.T)
+
+
+# ---------------------------------------------------------------------------
 # BEiT-v2
 # ---------------------------------------------------------------------------
 
@@ -290,6 +459,161 @@ def test_beit_import_matches_torch():
         ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
     out = fm.apply({"params": params}, jnp.asarray(x))
     assert out.shape == ref.shape == (2, DIM)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# CoaT-lite
+# ---------------------------------------------------------------------------
+
+class TCoaTConvPosEnc(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.proj = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+
+    def forward(self, x, size):
+        H, W = size
+        B, N, C = x.shape
+        cls, img = x[:, :1], x[:, 1:]
+        feat = img.transpose(1, 2).view(B, C, H, W)
+        feat = self.proj(feat) + feat
+        feat = feat.flatten(2).transpose(1, 2)
+        return torch.cat((cls, feat), dim=1)
+
+
+class TCoaTConvRelPosEnc(nn.Module):
+    def __init__(self, ch, heads, window):
+        super().__init__()
+        self.ch = ch
+        self.conv_list = nn.ModuleList()
+        self.head_splits = []
+        for w, h_split in window:
+            self.conv_list.append(
+                nn.Conv2d(h_split * ch, h_split * ch, w, padding=w // 2,
+                          groups=h_split * ch)
+            )
+            self.head_splits.append(h_split)
+        self.channel_splits = [h * ch for h in self.head_splits]
+
+    def forward(self, q, v, size):
+        H, W = size
+        B, h, N, Ch = q.shape
+        q_img, v_img = q[:, :, 1:], v[:, :, 1:]
+        v_map = v_img.transpose(2, 3).reshape(B, h * Ch, H, W)
+        segs = torch.split(v_map, self.channel_splits, dim=1)
+        conv_v = torch.cat(
+            [conv(s) for conv, s in zip(self.conv_list, segs)], dim=1
+        )
+        conv_v = conv_v.reshape(B, h, Ch, H * W).transpose(2, 3)
+        ev = q_img * conv_v
+        zero = torch.zeros((B, h, 1, Ch), dtype=q.dtype)
+        return torch.cat((zero, ev), dim=2)
+
+
+class TFactorAtt(nn.Module):
+    def __init__(self, dim, heads, crpe):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.crpe = crpe
+
+    def forward(self, x, size):
+        B, N, C = x.shape
+        h, Ch = self.heads, C // self.heads
+        qkv = self.qkv(x).reshape(B, N, 3, h, Ch).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        k_soft = k.softmax(dim=2)
+        factor = k_soft.transpose(-1, -2) @ v
+        fa = q @ factor
+        out = Ch ** -0.5 * fa + self.crpe(q, v, size)
+        out = out.transpose(1, 2).reshape(B, N, C)
+        return self.proj(out)
+
+
+class TCoaTSerialBlock(nn.Module):
+    def __init__(self, dim, heads, ratio, cpe, crpe):
+        super().__init__()
+        self.cpe = cpe  # shared (duplicated in state_dict; importer ignores)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.factoratt_crpe = TFactorAtt(dim, heads, crpe)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        mlp = nn.Module()
+        mlp.fc1 = nn.Linear(dim, int(dim * ratio))
+        mlp.fc2 = nn.Linear(int(dim * ratio), dim)
+        self.mlp = mlp
+
+    def forward(self, x, size):
+        x = self.cpe(x, size)
+        x = x + self.factoratt_crpe(self.norm1(x), size)
+        y = self.mlp.fc2(
+            torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x)))
+        )
+        return x + y
+
+
+class TCoaTLite(nn.Module):
+    def __init__(self, dims, depths, heads, ratios, window):
+        super().__init__()
+        self.dims, self.depths, self.heads = dims, depths, heads
+        prev = 3
+        for si, dim in enumerate(dims):
+            k = si + 1
+            pe = nn.Module()
+            pe.proj = nn.Conv2d(prev, dim, 4 if si == 0 else 2,
+                                4 if si == 0 else 2)
+            pe.norm = nn.LayerNorm(dim, eps=1e-6)
+            setattr(self, f"patch_embed{k}", pe)
+            setattr(self, f"cls_token{k}",
+                    nn.Parameter(torch.randn(1, 1, dim) * 0.02))
+            cpe = TCoaTConvPosEnc(dim)
+            crpe = TCoaTConvRelPosEnc(dim // heads, heads, window)
+            setattr(self, f"cpe{k}", cpe)
+            setattr(self, f"crpe{k}", crpe)
+            setattr(self, f"serial_blocks{k}", nn.ModuleList([
+                TCoaTSerialBlock(dim, heads, ratios[si], cpe, crpe)
+                for _ in range(depths[si])
+            ]))
+            prev = dim
+        self.norm4 = nn.LayerNorm(dims[-1], eps=1e-6)
+
+    def forward(self, x):
+        B = x.shape[0]
+        for si, dim in enumerate(self.dims):
+            k = si + 1
+            pe = getattr(self, f"patch_embed{k}")
+            x = pe.proj(x)
+            H, W = x.shape[2:]
+            x = pe.norm(x.flatten(2).transpose(1, 2))
+            cls = getattr(self, f"cls_token{k}").expand(B, -1, -1)
+            x = torch.cat((cls, x), dim=1)
+            for blk in getattr(self, f"serial_blocks{k}"):
+                x = blk(x, (H, W))
+            if si < len(self.dims) - 1:
+                x = x[:, 1:].transpose(1, 2).reshape(B, dim, H, W)
+        x = self.norm4(x)
+        return x[:, 0]
+
+
+def test_coat_import_matches_torch():
+    from skinjax.models.backbones.coat import CoaTLite
+    from skinjax.models.torch_import import import_coat
+
+    DIMS, DEPTHS, HEADS = (8, 16), (1, 2), 4
+    RATIOS = (2.0, 2.0)
+    WINDOW = ((3, 1), (5, 3))  # head splits sum to HEADS
+    torch.manual_seed(13)
+    tm = TCoaTLite(DIMS, DEPTHS, HEADS, RATIOS, WINDOW).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = import_coat(sd, DEPTHS, n_windows=len(WINDOW))
+
+    fm = CoaTLite(dims=DIMS, depths=DEPTHS, heads=HEADS, mlp_ratios=RATIOS,
+                  crpe_windows=WINDOW)
+    x = np.random.default_rng(13).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out = fm.apply({"params": params}, jnp.asarray(x))
+    assert out.shape == ref.shape == (2, 16)
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
 
 
