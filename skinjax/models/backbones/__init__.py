@@ -20,7 +20,8 @@ from skinjax.models.backbones import (
     cnn_zoo,
     coat,
     davit,
-    metaformer_zoo,
+    nextvit,
+    mvit,
     resnet,
     transformer_zoo,
     vit,
@@ -78,8 +79,8 @@ register("efficientnet-b7", _simple(cnn_zoo.EfficientNet, width=2.0, depth=3.1),
 register("swin_tiny_patch4_window7_224", _simple(transformer_zoo.swin_tiny), 768)
 register("caformer_b36", _simple(caformer.caformer_b36), 768)
 register("caformer_s18", _simple(caformer.caformer_s18), 512)
-register("mvitv2_small", _simple(metaformer_zoo.mvitv2_small), 768)
-register("nextvit_small", _simple(metaformer_zoo.nextvit_small), 768)
+register("mvitv2_small", _simple(mvit.mvitv2_small), 768)
+register("nextvit_small", _simple(nextvit.nextvit_small), 1024)
 register("coat_lite_small", _simple(coat.coat_lite_small), 512)
 register("davit_tiny", _simple(davit.davit_tiny), 768)
 register("vit_tiny_patch16_224", _simple(vit.vit_tiny), 192)

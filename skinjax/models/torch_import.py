@@ -559,6 +559,138 @@ def import_caformer(
     return params
 
 
+def import_nextvit(
+    sd: Dict[str, np.ndarray],
+    depths: Sequence[int] = (3, 4, 10, 3),
+    stage_channels=None,
+    stage_types=None,
+    prefix: str = "",
+) -> Tuple[Dict, Dict]:
+    """NextViT checkpoint -> skinjax nextvit.NextViT (params, batch_stats).
+    Accepts both the official flat ``features.{k}`` outer layout and
+    timm-style ``stages.{si}.{bi}``; inner module names follow the official
+    repo (patch_embed/mhca/e_mhsa/projection/norm/mlp.conv{1,2}). Matches
+    loadImageModelClassifier.py:115-150 (``nextvit_small``,
+    reset_classifier(0) keeps the final BatchNorm)."""
+    from skinjax.models.backbones.nextvit import nextvit_plan
+
+    chans, types = nextvit_plan(depths)
+    if stage_channels is not None:
+        chans = [list(c) for c in stage_channels]
+    if stage_types is not None:
+        types = [list(t) for t in stage_types]
+
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put_bn(ptree, stree, name, src):
+        bnp, bns = t2f_bn(sd, P(src))
+        ptree[name], stree[name] = bnp, bns
+
+    for i in range(4):
+        params[f"stem{i}_conv"] = t2f_conv(sd, P(f"stem.{i}.conv"))
+        put_bn(params, stats, f"stem{i}_norm", f"stem.{i}.norm")
+
+    def patch_embed(base):
+        p, s = {}, {}
+        if P(f"{base}.conv.weight") in sd:
+            p["conv"] = t2f_conv(sd, P(f"{base}.conv"))
+            put_bn(p, s, "norm", f"{base}.norm")
+        return p, s
+
+    def mhca(base):
+        p, s = {"group_conv3x3": t2f_conv(sd, P(f"{base}.group_conv3x3")),
+                "projection": t2f_conv(sd, P(f"{base}.projection"))}, {}
+        put_bn(p, s, "norm", f"{base}.norm")
+        return p, s
+
+    def mlp(base):
+        return {"conv1": _t2f_lin_any(sd, P(f"{base}.conv1")),
+                "conv2": _t2f_lin_any(sd, P(f"{base}.conv2"))}
+
+    idx = 0
+    for si, stage_ty in enumerate(types):
+        for bi, ty in enumerate(stage_ty):
+            base = None
+            for cand in (f"features.{idx}", f"stages.{si}.{bi}"):
+                if P(f"{cand}.mlp.conv1.weight") in sd:
+                    base = cand
+                    break
+            if base is None:
+                raise KeyError(f"nextvit block {idx} not found in state_dict")
+            bp: Dict = {}
+            bs: Dict = {}
+            pe_p, pe_s = patch_embed(f"{base}.patch_embed")
+            if pe_p:
+                bp["patch_embed"], bs["patch_embed"] = pe_p, pe_s
+            if ty == "ncb":
+                bp["mhca"], bs["mhca"] = mhca(f"{base}.mhca")
+                put_bn(bp, bs, "norm", f"{base}.norm")
+            else:
+                put_bn(bp, bs, "norm1", f"{base}.norm1")
+                e: Dict = {}
+                es: Dict = {}
+                for nm in ("q", "k", "v", "proj"):
+                    e[nm] = t2f_linear(sd, P(f"{base}.e_mhsa.{nm}"))
+                if P(f"{base}.e_mhsa.norm.weight") in sd:
+                    put_bn(e, es, "norm", f"{base}.e_mhsa.norm")
+                bp["e_mhsa"], bs["e_mhsa"] = e, es
+                pj_p, pj_s = patch_embed(f"{base}.projection")
+                bp["projection"], bs["projection"] = pj_p, pj_s
+                bp["mhca"], bs["mhca"] = mhca(f"{base}.mhca")
+                put_bn(bp, bs, "norm2", f"{base}.norm2")
+            bp["mlp"] = mlp(f"{base}.mlp")
+            params[f"b{idx}"] = bp
+            stats[f"b{idx}"] = {k: v for k, v in bs.items() if v}
+            idx += 1
+
+    put_bn(params, stats, "norm", "norm")
+    return params, stats
+
+
+def import_mvit(
+    sd: Dict[str, np.ndarray],
+    depths: Sequence[int] = (1, 2, 11, 2),
+    prefix: str = "",
+) -> Dict:
+    """timm MViTv2 (patch_embed.proj, stages.{i}.blocks.{j}.{norm1,
+    shortcut_proj_attn,attn.{qkv,pool_q,norm_q,pool_k,norm_k,pool_v,norm_v,
+    rel_pos_h,rel_pos_w,proj},norm2,mlp.{fc1,fc2}}, norm) -> skinjax
+    mvit.MViTv2 params. Matches loadImageModelClassifier.py:115-150
+    (``mvitv2_small``, reset_classifier(0))."""
+    P = lambda s: f"{prefix}{s}"
+    params: Dict = {
+        "patch_embed": t2f_conv(sd, P("patch_embed.proj")),
+        "norm": t2f_ln(sd, P("norm")),
+    }
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            B = f"stages.{si}.blocks.{bi}"
+            attn = {
+                "qkv": t2f_linear(sd, P(f"{B}.attn.qkv")),
+                "proj": t2f_linear(sd, P(f"{B}.attn.proj")),
+                "rel_pos_h": sd[P(f"{B}.attn.rel_pos_h")],
+                "rel_pos_w": sd[P(f"{B}.attn.rel_pos_w")],
+            }
+            for t in ("q", "k", "v"):
+                attn[f"pool_{t}"] = _t2f_dwconv(sd, P(f"{B}.attn.pool_{t}"))
+                attn[f"norm_{t}"] = t2f_ln(sd, P(f"{B}.attn.norm_{t}"))
+            blk = {
+                "norm1": t2f_ln(sd, P(f"{B}.norm1")),
+                "attn": attn,
+                "norm2": t2f_ln(sd, P(f"{B}.norm2")),
+                "mlp_fc1": t2f_linear(sd, P(f"{B}.mlp.fc1")),
+                "mlp_fc2": t2f_linear(sd, P(f"{B}.mlp.fc2")),
+            }
+            if P(f"{B}.shortcut_proj_attn.weight") in sd:
+                blk["shortcut_proj"] = t2f_linear(
+                    sd, P(f"{B}.shortcut_proj_attn")
+                )
+            params[f"stage{si}_block{bi}"] = blk
+    return params
+
+
 def import_coat(
     sd: Dict[str, np.ndarray],
     depths: Sequence[int] = (3, 4, 6, 3),

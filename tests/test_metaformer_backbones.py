@@ -1,4 +1,8 @@
-"""CAFormer/MViTv2/NextViT/CoaT-lite smoke tests (scaled-down configs)."""
+"""CAFormer/MViTv2/NextViT/CoaT-lite smoke tests (scaled-down configs).
+
+The timm-layout models live in dedicated modules (caformer/mvit/nextvit/
+coat); importer parity is covered in test_timm_backbones.py — these are
+forward/gradient smoke tests on tiny configs."""
 
 import numpy as np
 import pytest
@@ -6,31 +10,38 @@ import jax
 import jax.numpy as jnp
 
 from skinjax.models.backbones import available_backbones, create_backbone
-from skinjax.models.backbones.metaformer_zoo import (
-    CAFormer,
-    CoaTLite,
-    MViTv2,
-    NextViT,
-)
+from skinjax.models.backbones.caformer import CAFormer
+from skinjax.models.backbones.coat import CoaTLite
+from skinjax.models.backbones.mvit import MViTv2
+from skinjax.models.backbones.nextvit import NextViT
 
 
 @pytest.mark.parametrize(
-    "cls,kw",
+    "cls,kw,out_dim",
     [
-        (CAFormer, dict(dims=(8, 16), depths=(1, 1), mixers=("conv", "attention"))),
-        (MViTv2, dict(dims=(8, 16), depths=(1, 1), heads=(1, 2))),
-        (NextViT, dict(dims=(8, 16), depths=(1, 2), attn_stages=(False, True),
-                       heads=(1, 2))),
-        (CoaTLite, dict(dims=(8, 16), depths=(1, 1), heads=(1, 2))),
+        (CAFormer, dict(dims=(8, 16), depths=(1, 1),
+                        mixers=("conv", "attention"),
+                        res_scale_stages=(False, True)), 16),
+        (MViTv2, dict(dims=(8, 16), depths=(1, 1), heads=(1, 2)), 16),
+        (NextViT, dict(stem_chs=(8, 8, 8), head_dim=8, div=8,
+                       sr_ratios=(2, 2),
+                       stage_channels=[[8], [16, 32]],
+                       stage_types=[["ncb"], ["ncb", "ntb"]]), 32),
+        (CoaTLite, dict(dims=(8, 16), depths=(1, 1), heads=(2,),
+                        mlp_ratios=(2.0, 2.0), heads_arg=True), 16),
     ],
 )
-def test_metaformer_variants_forward(cls, kw):
+def test_metaformer_variants_forward(cls, kw, out_dim):
+    if kw.pop("heads_arg", None):
+        kw["heads"] = 2
+        kw["crpe_windows"] = ((3, 1), (5, 1))
     model = cls(**kw)
     x = jnp.zeros((2, 64, 64, 3))
     variables = model.init(jax.random.key(0), x)
     out = model.apply(variables, x, mutable=["batch_stats"])[0] \
         if "batch_stats" in variables else model.apply(variables, x)
-    assert out.shape[0] == 2 and out.ndim == 4 and out.shape[-1] == 16
+    # all timm-layout backbones return the pooled reset_classifier(0) vector
+    assert out.shape == (2, out_dim)
     assert np.isfinite(np.asarray(out)).all()
 
 

@@ -463,6 +463,346 @@ def test_beit_import_matches_torch():
 
 
 # ---------------------------------------------------------------------------
+# NextViT (official layout)
+# ---------------------------------------------------------------------------
+
+class TNextPatchEmbed(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.stride, self.has = stride, stride == 2 or cin != cout
+        if self.has:
+            self.conv = nn.Conv2d(cin, cout, 1, bias=False)
+            self.norm = nn.BatchNorm2d(cout, eps=1e-5)
+
+    def forward(self, x):
+        if self.stride == 2:
+            x = torch.nn.functional.avg_pool2d(x, 2, 2)
+        if self.has:
+            x = self.norm(self.conv(x))
+        return x
+
+
+class TMHCA(nn.Module):
+    def __init__(self, dim, head_dim):
+        super().__init__()
+        self.group_conv3x3 = nn.Conv2d(dim, dim, 3, 1, 1,
+                                       groups=dim // head_dim, bias=False)
+        self.norm = nn.BatchNorm2d(dim, eps=1e-5)
+        self.projection = nn.Conv2d(dim, dim, 1, bias=False)
+
+    def forward(self, x):
+        return self.projection(torch.relu(self.norm(self.group_conv3x3(x))))
+
+
+class TNextMlp(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.conv1 = nn.Conv2d(dim, hidden, 1)
+        self.conv2 = nn.Conv2d(hidden, dim, 1)
+
+    def forward(self, x):
+        return self.conv2(torch.relu(self.conv1(x)))
+
+
+class TEMHSA(nn.Module):
+    def __init__(self, dim, head_dim, sr_ratio):
+        super().__init__()
+        self.heads, self.hd, self.sr = dim // head_dim, head_dim, sr_ratio
+        self.q = nn.Linear(dim, dim)
+        self.k = nn.Linear(dim, dim)
+        self.v = nn.Linear(dim, dim)
+        self.proj = nn.Linear(dim, dim)
+        if sr_ratio > 1:
+            self.norm = nn.BatchNorm1d(dim, eps=1e-5)
+
+    def forward(self, x):  # (B, N, C)
+        B, N, C = x.shape
+        q = self.q(x).reshape(B, N, self.heads, self.hd).permute(0, 2, 1, 3)
+        kv = x
+        if self.sr > 1:
+            k_pool = self.sr ** 2
+            kv = torch.nn.functional.avg_pool1d(
+                x.transpose(1, 2), k_pool, k_pool
+            )
+            kv = self.norm(kv).transpose(1, 2)
+        M = kv.shape[1]
+        k = self.k(kv).reshape(B, M, self.heads, self.hd).permute(0, 2, 1, 3)
+        v = self.v(kv).reshape(B, M, self.heads, self.hd).permute(0, 2, 1, 3)
+        attn = ((q @ k.transpose(-2, -1)) * self.hd ** -0.5).softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(out)
+
+
+class TNCB(nn.Module):
+    def __init__(self, cin, cout, stride, head_dim, div):
+        super().__init__()
+        self.patch_embed = TNextPatchEmbed(cin, cout, stride)
+        self.mhca = TMHCA(cout, head_dim)
+        self.norm = nn.BatchNorm2d(cout, eps=1e-5)
+        from skinjax.models.backbones.nextvit import make_divisible
+
+        self.mlp = TNextMlp(cout, make_divisible(cout * 3, div))
+
+    def forward(self, x):
+        x = self.patch_embed(x)
+        x = x + self.mhca(x)
+        return x + self.mlp(self.norm(x))
+
+
+class TNTB(nn.Module):
+    def __init__(self, cin, cout, stride, sr, head_dim, div):
+        super().__init__()
+        from skinjax.models.backbones.nextvit import make_divisible
+
+        mhsa_ch = make_divisible(int(cout * 0.75), div)
+        mhca_ch = cout - mhsa_ch
+        self.patch_embed = TNextPatchEmbed(cin, mhsa_ch, stride)
+        self.norm1 = nn.BatchNorm2d(mhsa_ch, eps=1e-5)
+        self.e_mhsa = TEMHSA(mhsa_ch, head_dim, sr)
+        self.projection = TNextPatchEmbed(mhsa_ch, mhca_ch, 1)
+        self.mhca = TMHCA(mhca_ch, head_dim)
+        self.norm2 = nn.BatchNorm2d(cout, eps=1e-5)
+        self.mlp = TNextMlp(cout, make_divisible(cout * 2, div))
+
+    def forward(self, x):
+        x = self.patch_embed(x)
+        B, C, H, W = x.shape
+        y = self.norm1(x).flatten(2).transpose(1, 2)
+        y = self.e_mhsa(y)
+        x = x + y.transpose(1, 2).reshape(B, C, H, W)
+        out = self.projection(x)
+        out = out + self.mhca(out)
+        x = torch.cat([x, out], dim=1)
+        return x + self.mlp(self.norm2(x))
+
+
+class TNextViT(nn.Module):
+    """Official nextvit layout: stem.{i}.{conv,norm}, flat features.{k},
+    final norm."""
+
+    def __init__(self, stem_chs, chans, types, srs, head_dim, div):
+        super().__init__()
+        stem = []
+        prev = 3
+        for ch, s in [(stem_chs[0], 2), (stem_chs[1], 1), (stem_chs[2], 1),
+                      (stem_chs[2], 2)]:
+            m = nn.Module()
+            m.conv = nn.Conv2d(prev, ch, 3, s, 1, bias=False)
+            m.norm = nn.BatchNorm2d(ch, eps=1e-5)
+            stem.append(m)
+            prev = ch
+        self.stem = nn.ModuleList(stem)
+        feats = []
+        for si, (cs, ts) in enumerate(zip(chans, types)):
+            for bi, (c, t) in enumerate(zip(cs, ts)):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                if t == "ncb":
+                    feats.append(TNCB(prev, c, stride, head_dim, div))
+                else:
+                    feats.append(TNTB(prev, c, stride, srs[si], head_dim, div))
+                prev = c
+        self.features = nn.ModuleList(feats)
+        self.norm = nn.BatchNorm2d(prev, eps=1e-5)
+
+    def forward(self, x):
+        for m in self.stem:
+            x = torch.relu(m.norm(m.conv(x)))
+        for blk in self.features:
+            x = blk(x)
+        return self.norm(x).mean(dim=(2, 3))
+
+
+def test_nextvit_import_matches_torch():
+    from skinjax.models.backbones.nextvit import NextViT
+    from skinjax.models.torch_import import import_nextvit
+
+    STEM = (16, 8, 16)
+    CHANS = [[16, 16], [32, 48]]
+    TYPES = [["ncb", "ncb"], ["ncb", "ntb"]]
+    SRS = (2, 2)
+    HD, DIV = 8, 8
+    torch.manual_seed(19)
+    tm = TNextViT(STEM, CHANS, TYPES, SRS, HD, DIV).eval()
+    # randomize BN running stats so eval-mode stats transfer is exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
+                m.running_mean.add_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.mul_(
+                    (1 + torch.rand_like(m.running_var)).clamp(0.5, 2.0)
+                )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = import_nextvit(sd, stage_channels=CHANS, stage_types=TYPES)
+
+    fm = NextViT(stem_chs=STEM, sr_ratios=SRS, head_dim=HD, div=DIV,
+                 stage_channels=CHANS, stage_types=TYPES)
+    x = np.random.default_rng(19).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out = fm.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    assert out.shape == ref.shape == (2, 48)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
+
+
+def test_nextvit_small_feature_dim_is_1024():
+    """nextvit_small ends at 1024 channels (official stage plan), not 768."""
+    from skinjax.models.backbones.nextvit import nextvit_plan
+
+    chans, types = nextvit_plan((3, 4, 10, 3))
+    assert chans[-1][-1] == 1024
+    assert [t[-1] for t in types] == ["ncb", "ntb", "ntb", "ntb"]
+    assert sum(len(c) for c in chans) == 20
+
+
+# ---------------------------------------------------------------------------
+# MViTv2
+# ---------------------------------------------------------------------------
+
+class TMViTAttention(nn.Module):
+    def __init__(self, dim_in, dim_out, heads, stride_q, stride_kv, feat):
+        super().__init__()
+        self.heads, self.dim_out = heads, dim_out
+        self.hd = dim_out // heads
+        self.feat = feat
+        self.qkv = nn.Linear(dim_in, 3 * dim_out)
+        self.pool_q = nn.Conv2d(self.hd, self.hd, 3, stride_q, 1,
+                                groups=self.hd, bias=False)
+        self.norm_q = nn.LayerNorm(self.hd, eps=1e-6)
+        self.pool_k = nn.Conv2d(self.hd, self.hd, 3, stride_kv, 1,
+                                groups=self.hd, bias=False)
+        self.norm_k = nn.LayerNorm(self.hd, eps=1e-6)
+        self.pool_v = nn.Conv2d(self.hd, self.hd, 3, stride_kv, 1,
+                                groups=self.hd, bias=False)
+        self.norm_v = nn.LayerNorm(self.hd, eps=1e-6)
+        q_size = feat[0] // stride_q
+        kv_size = feat[0] // stride_kv
+        rel_dim = 2 * max(q_size, kv_size) - 1
+        self.rel_pos_h = nn.Parameter(torch.randn(rel_dim, self.hd) * 0.05)
+        self.rel_pos_w = nn.Parameter(torch.randn(rel_dim, self.hd) * 0.05)
+        self.proj = nn.Linear(dim_out, dim_out)
+
+    def _pool(self, t, pool, norm, B):
+        H, W = self.feat
+        # (B, h, N, hd) -> (B*h, hd, H, W)
+        m = t.transpose(2, 3).reshape(B * self.heads, self.hd, H, W)
+        m = pool(m)
+        Hs, Ws = m.shape[2:]
+        m = m.reshape(B, self.heads, self.hd, Hs * Ws).transpose(2, 3)
+        return norm(m), (Hs, Ws)
+
+    def forward(self, x):
+        from skinjax.models.backbones.mvit import _rel_pos_dists
+
+        B, N, _ = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads, self.hd)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q, q_size = self._pool(q, self.pool_q, self.norm_q, B)
+        k, k_size = self._pool(k, self.pool_k, self.norm_k, B)
+        v, _ = self._pool(v, self.pool_v, self.norm_v, B)
+        attn = (q * self.hd ** -0.5) @ k.transpose(-2, -1)
+        Rh = self.rel_pos_h[torch.tensor(_rel_pos_dists(q_size[0], k_size[0]))]
+        Rw = self.rel_pos_w[torch.tensor(_rel_pos_dists(q_size[1], k_size[1]))]
+        r_q = q.reshape(B, self.heads, q_size[0], q_size[1], self.hd)
+        rel_h = torch.einsum("byhwc,hkc->byhwk", r_q, Rh)
+        rel_w = torch.einsum("byhwc,wkc->byhwk", r_q, Rw)
+        attn = attn.view(B, self.heads, *q_size, *k_size)
+        attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
+        attn = attn.view(B, self.heads, q_size[0] * q_size[1],
+                         k_size[0] * k_size[1]).softmax(-1)
+        out = attn @ v + q  # residual pooling
+        out = out.transpose(1, 2).reshape(B, -1, self.dim_out)
+        return self.proj(out), q_size
+
+
+class TMViTBlock(nn.Module):
+    def __init__(self, dim_in, dim_out, heads, stride_q, stride_kv, feat):
+        super().__init__()
+        self.feat, self.stride_q, self.dim_out = feat, stride_q, dim_out
+        self.norm1 = nn.LayerNorm(dim_in, eps=1e-6)
+        if dim_in != dim_out:
+            self.shortcut_proj_attn = nn.Linear(dim_in, dim_out)
+        else:
+            self.shortcut_proj_attn = None
+        self.attn = TMViTAttention(dim_in, dim_out, heads, stride_q,
+                                   stride_kv, feat)
+        self.norm2 = nn.LayerNorm(dim_out, eps=1e-6)
+        mlp = nn.Module()
+        mlp.fc1 = nn.Linear(dim_out, 4 * dim_out)
+        mlp.fc2 = nn.Linear(4 * dim_out, dim_out)
+        self.mlp = mlp
+
+    def forward(self, x):
+        B, N, _ = x.shape
+        H, W = self.feat
+        y = self.norm1(x)
+        shortcut = x if self.shortcut_proj_attn is None \
+            else self.shortcut_proj_attn(y)
+        if self.stride_q > 1:
+            m = shortcut.transpose(1, 2).reshape(B, self.dim_out, H, W)
+            m = torch.nn.functional.max_pool2d(m, 3, self.stride_q, 1)
+            shortcut = m.reshape(B, self.dim_out, -1).transpose(1, 2)
+        y, q_size = self.attn(y)
+        x = shortcut + y
+        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + y, q_size
+
+
+class TMViTv2(nn.Module):
+    def __init__(self, dims, depths, heads, img):
+        super().__init__()
+        pe = nn.Module()
+        pe.proj = nn.Conv2d(3, dims[0], 7, 4, 3)
+        self.patch_embed = pe
+        feat = (img // 4, img // 4)
+        dim_in = dims[0]
+        kv_stride = 4
+        stages = []
+        for si, (dim, depth, h) in enumerate(zip(dims, depths, heads)):
+            ssq = 2 if si > 0 else 1
+            if ssq > 1:
+                kv_stride = max(kv_stride // ssq, 1)
+            stage = nn.Module()
+            blocks = []
+            for bi in range(depth):
+                sq = ssq if bi == 0 else 1
+                blocks.append(TMViTBlock(dim_in, dim, h, sq, kv_stride, feat))
+                feat = (feat[0] // sq, feat[1] // sq)
+                dim_in = dim
+            stage.blocks = nn.ModuleList(blocks)
+            stages.append(stage)
+        self.stages = nn.ModuleList(stages)
+        self.norm = nn.LayerNorm(dims[-1], eps=1e-6)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        for stage in self.stages:
+            for blk in stage.blocks:
+                x, _ = blk(x)
+        return self.norm(x).mean(1)
+
+
+def test_mvitv2_import_matches_torch():
+    from skinjax.models.backbones.mvit import MViTv2
+    from skinjax.models.torch_import import import_mvit
+
+    DIMS, DEPTHS, HEADS, IMG = (16, 32), (1, 2), (2, 4), 32
+    torch.manual_seed(17)
+    tm = TMViTv2(DIMS, DEPTHS, HEADS, IMG).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = import_mvit(sd, DEPTHS)
+
+    fm = MViTv2(dims=DIMS, depths=DEPTHS, heads=HEADS)
+    x = np.random.default_rng(17).normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out = fm.apply({"params": params}, jnp.asarray(x))
+    assert out.shape == ref.shape == (2, 32)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
 # CoaT-lite
 # ---------------------------------------------------------------------------
 
