@@ -21,7 +21,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _bn(train: bool, dtype, name: str, eps: float = 1e-5) -> nn.BatchNorm:
+def _bn(train: bool, dtype, name: str, eps: float = 1e-5) -> nn.Module:
+    """BatchNorm, torch semantics (eps 1e-5, momentum 0.1 torch == 0.9 flax).
+
+    Stays on flax/XLA BatchNorm: the v5e profile shows XLA's convert+reduce
+    fusions already sit near the HBM roofline for the separate-op BN
+    formulation, and a measured Pallas replacement (ops/fused_bn.py,
+    custom_vjp around single-pass stats kernels) LOST ~30 ms/step to the
+    fusion barriers its op boundary introduces (copies/reshapes XLA could
+    no longer fuse). The kernels remain available for fused conv-epilogue
+    work, where the pass savings are real."""
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=eps, dtype=dtype, name=name
     )
