@@ -1,6 +1,11 @@
 """Model export (the reference's ONNX path, others/export_model_onnx.py:32-46).
 
-Two formats:
+Three formats:
+  * ``export_onnx``: native opset-13 ONNX emission (jaxpr → ONNX via
+    serve/onnx_export.py; no onnx package needed) with the reference's
+    exact contract — ``image``/``text_metadata`` inputs, ``logits`` output,
+    dynamic batch. Tested by executing the serialized bytes with the numpy
+    evaluator (serve/onnx_runtime.py) against model.apply logits.
   * ``export_saved_model``: jax2tf → TF SavedModel with dynamic batch — the
     TPU-world equivalent of the reference's opset-13 ONNX export (tensorflow
     is in the image; onnx is not). Inputs keep the reference's names
@@ -70,3 +75,26 @@ def load_stablehlo(path: str):
 
     with open(path, "rb") as f:
         return jax_export.deserialize(f.read())
+
+
+def export_onnx(
+    model, variables, path: str, image_size=(224, 224), vocab_size: int = 91
+) -> bytes:
+    """Serialize the inference graph as ONNX opset 13 — the reference's
+    export contract (export_model_onnx.py:32-46). Weights are exported f32
+    (cast from bf16 if the model trained in bf16)."""
+    from skinjax.serve.onnx_export import export_onnx as _export
+
+    f32_vars = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a,
+        variables,
+    )
+    fwd = _forward_fn(model, f32_vars)
+    example = (
+        np.zeros((1, *image_size, 3), np.float32),
+        np.zeros((1, vocab_size), np.float32),
+    )
+    return _export(fwd, example, path=path,
+                   input_names=("image", "text_metadata"),
+                   output_names=("logits",), dynamic_batch=True)
