@@ -74,16 +74,45 @@ PAD25_CLUSTER_TARGETS = {
 def _clean_pad25(df: pd.DataFrame) -> pd.DataFrame:
     if "img-src" in df:
         df = df[df["img-src"] == "CLINICAL"].copy()
+    # full sentinel set (skinLesionDatasetsPAD2025.py:116-133): stray spaces,
+    # "NÃO  ENCONTRADO", "NAO PREENCHIDO", lone "I" → EMPTY; BRASIL → BRAZIL
     df = df.replace(
         {"NAO PREENCHIDO": EMPTY, "NÃO  ENCONTRADO": EMPTY, "BRASIL": "BRAZIL",
-         " ": EMPTY, "  ": EMPTY}
+         " ": EMPTY, "  ": EMPTY, "I": EMPTY}
     )
+    if "age" in df:
+        # :113-114 — missing/EMPTY age becomes 0 before numeric coercion
+        df["age"] = pd.to_numeric(
+            df["age"].replace(EMPTY, 0), errors="coerce"
+        ).fillna(0)
     if "macroCIDDiagnostic" in df:
         df["macroCIDDiagnostic"] = df["macroCIDDiagnostic"].map(
             PAD25_CLUSTER_TARGETS
         )
         df = df.dropna(subset=["macroCIDDiagnostic"])
     return df.fillna(EMPTY)
+
+
+# ISIC-2020 multiclass diagnosis collapse (skinLesionDatasetsISIC2020.py:121-136):
+# raw diagnosis strings map to NEV/MEL/BKL/UNK; unmapped rows are dropped.
+ISIC2020_DIAGNOSIS_MAP = {
+    "nevus": "NEV",
+    "melanoma": "MEL",
+    "seborrheic keratosis": "BKL",
+    "lentigo NOS": "BKL",
+    "lichenoid keratosis": "BKL",
+    "solar lentigo": "BKL",
+    "cafe-au-lait macule": "UNK",
+    "atypical melanocytic proliferation": "UNK",
+    "unknown": "UNK",
+}
+
+
+def _clean_isic2020_multiclass(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["diagnosis"] = df["diagnosis"].map(ISIC2020_DIAGNOSIS_MAP)
+    df = df.dropna(subset=["diagnosis"]).reset_index(drop=True)
+    return _clean_default(df)
 
 
 MILK10K_MALIGNANT = {"MEL", "BCC", "SCCKA", "AKIEC", "MAL_OTH"}
@@ -146,6 +175,19 @@ SPECS: Dict[str, DatasetSpec] = {
         type_of_problem="binaryclass",
         clean=_clean_default,
     ),
+    # multiclass `diagnosis` mode (skinLesionDatasetsISIC2020.py:136): same
+    # feature space as binary ISIC-2020, labels from the collapsed diagnosis
+    "isic-2020-multiclass": DatasetSpec(
+        name="isic-2020-multiclass",
+        label_col="diagnosis",
+        image_col="image_name",
+        drop_cols=("image_name", "patient_id", "diagnosis", "benign_malignant", "target"),
+        numerical_cols=(),
+        group_col="patient_id",
+        image_suffix=".jpg",
+        type_of_problem="multiclass",
+        clean=_clean_isic2020_multiclass,
+    ),
     "derm7pt": DatasetSpec(
         name="derm7pt",
         label_col="diagnosis",
@@ -204,6 +246,26 @@ SPECS: Dict[str, DatasetSpec] = {
         clean=_clean_default,
         label_fn=lambda df: milk10k_labels(df, "binaryclass"),
     ),
+    # 11-class mode (skinLesionDatasetsMILK10K.py:231-236): argmax over the
+    # merged one-hot diagnosis ground-truth columns
+    "milk10k-multiclass": DatasetSpec(
+        name="milk10k-multiclass",
+        label_col="target",
+        image_col="isic_id",
+        drop_cols=("image_type", "attribution", "copyright_license"),
+        numerical_cols=(
+            "age_approx", "MONET_ulceration_crust", "MONET_hair",
+            "MONET_vasculature_vessels", "MONET_erythema", "MONET_pigmented",
+            "MONET_gel_water_drop_fluid_dermoscopy_liquid",
+            "MONET_skin_markings_pen_ink_purple_pen",
+        ),
+        categorical_cols=("image_manipulation", "sex", "skin_tone_class", "site"),
+        group_col="lesion_id",
+        image_suffix=".jpg",
+        type_of_problem="multiclass",
+        clean=_clean_default,
+        label_fn=lambda df: milk10k_labels(df, "multiclass"),
+    ),
     "skindisnet": DatasetSpec(
         name="skindisnet",
         label_col="Label",
@@ -240,19 +302,28 @@ class PreparedDataset:
 
 def prepare_dataset(
     dataset: str,
-    metadata_csv: str,
+    metadata_csv: Optional[str],
     featurizer_path: Optional[str] = None,
     image_col: Optional[str] = None,
     label_col: Optional[str] = None,
+    df: Optional[pd.DataFrame] = None,
+    unlabeled: bool = False,
 ) -> PreparedDataset:
     """Load + clean a CSV and featurize it under the dataset's schema.
 
     If ``featurizer_path`` exists it is loaded (serving path — identical
     feature space as training, skinLesionDatasets.py:154-175); otherwise the
     featurizer is fitted and, when a path is given, persisted.
+
+    ``df`` bypasses the CSV read (pre-merged frames, e.g. MILK10K ground-truth
+    joins). ``unlabeled=True`` is the challenge-test mode
+    (skinLesionDatasetsMILK10K.py:46-51): no labels exist, the featurizer MUST
+    load from ``featurizer_path`` (the training feature space), and ``labels``
+    comes back as all ``-1``.
     """
     spec = SPECS[dataset]
-    df = pd.read_csv(metadata_csv)
+    if df is None:
+        df = pd.read_csv(metadata_csv)
     if spec.clean is not None:
         df = spec.clean(df)
     df = df.reset_index(drop=True)
@@ -289,7 +360,8 @@ def prepare_dataset(
 
     table = {c: feature_df[c].to_numpy() for c in feature_df.columns}
     labels_raw = (
-        np.asarray(spec.label_fn(df)).astype(str)
+        None if unlabeled
+        else np.asarray(spec.label_fn(df)).astype(str)
         if spec.label_fn is not None
         else df[lbl_col].astype(str).to_numpy()
     )
@@ -298,6 +370,11 @@ def prepare_dataset(
 
     if featurizer_path and os.path.exists(featurizer_path):
         fz = MetadataFeaturizer.load(featurizer_path)
+    elif unlabeled:
+        raise ValueError(
+            "unlabeled (challenge-test) mode requires a persisted featurizer "
+            "from training — pass featurizer_path to an existing file"
+        )
     else:
         fz = MetadataFeaturizer(
             categorical_cols=categorical,
@@ -308,13 +385,22 @@ def prepare_dataset(
             fz.save(featurizer_path)
 
     features = fz.transform(table)
-    labels = fz.label_encoder.transform(labels_raw)
+    labels = (
+        np.full(len(df), -1, np.int32) if unlabeled
+        else fz.label_encoder.transform(labels_raw)
+    )
     groups = (
         df[spec.group_col].to_numpy()
         if spec.group_col and spec.group_col in df.columns
         else np.arange(len(df))
     )
     image_files = [str(v) + spec.image_suffix for v in df[img_col].to_numpy()]
+    if dataset.startswith("milk10k") and "lesion_id" in df.columns:
+        # MILK10K images live in per-lesion subdirectories
+        # (skinLesionDatasetsMILK10K.py:56-59: img_dir/<lesion_id>/<isic_id>.jpg)
+        image_files = [
+            os.path.join(str(l), f) for l, f in zip(df["lesion_id"], image_files)
+        ]
 
     return PreparedDataset(
         name=dataset,
@@ -325,4 +411,33 @@ def prepare_dataset(
         class_names=list(fz.label_encoder.classes),
         featurizer=fz,
         raw=df,
+    )
+
+
+def prepare_milk10k(
+    metadata_csv: str,
+    ground_truth_csv: Optional[str] = None,
+    image_type: str = "clinical: close-up",
+    type_of_problem: str = "binaryclass",
+    featurizer_path: Optional[str] = None,
+) -> PreparedDataset:
+    """MILK10K with the reference's split handling
+    (skinLesionDatasetsMILK10K.py:123-145): sentinel-clean the metadata CSV,
+    filter to one ``image_type`` BEFORE the ground-truth merge, left-merge the
+    one-hot diagnosis ground truth on ``lesion_id``. With
+    ``ground_truth_csv=None`` this is the challenge-test split (:46-51):
+    features are built from a persisted training featurizer and labels are -1.
+    """
+    md = pd.read_csv(metadata_csv, dtype=str)
+    md = md.fillna(EMPTY).replace(
+        {" ": EMPTY, "  ": EMPTY, "NÃO  ENCONTRADO": EMPTY}
+    )
+    md = md[md["image_type"] == image_type].reset_index(drop=True)
+    if ground_truth_csv is not None:
+        gt = pd.read_csv(ground_truth_csv, dtype=str)
+        md = md.merge(gt, on="lesion_id", how="left", suffixes=("", "_gt"))
+    name = "milk10k" if type_of_problem == "binaryclass" else "milk10k-multiclass"
+    return prepare_dataset(
+        name, None, featurizer_path=featurizer_path, df=md,
+        unlabeled=ground_truth_csv is None,
     )
