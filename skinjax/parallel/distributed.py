@@ -21,9 +21,11 @@ from skinjax.parallel.mesh import param_sharding_rules
 from skinjax.train.steps import TrainState
 
 
-def distribute_state(mesh: Mesh, state: TrainState, min_tp_dim: int = 1024) -> TrainState:
+def distribute_state(
+    mesh: Mesh, state: TrainState, min_tp_dim: int = 1024, min_tp_conv: int = 0
+) -> TrainState:
     def put_tree(tree):
-        rules = param_sharding_rules(mesh, tree, min_tp_dim)
+        rules = param_sharding_rules(mesh, tree, min_tp_dim, min_tp_conv)
         return jax.tree_util.tree_map(jax.device_put, tree, rules)
 
     return TrainState(

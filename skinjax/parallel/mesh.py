@@ -52,31 +52,45 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def param_sharding_rules(mesh: Mesh, params, min_tp_dim: int = 1024):
+def param_sharding_rules(
+    mesh: Mesh, params, min_tp_dim: int = 1024, min_tp_conv: int = 0
+):
     """Assign a NamedSharding to every param leaf.
 
     Policy: replicate by default; tensor-parallel-shard 2-D kernels whose
     output dim is both >= min_tp_dim and divisible by the model-axis size
     (covers the 4096-wide VGG16/LiwTERM heads, ViT MLPs, and the fusion MLP
-    stack at large common_dim). Embedding/conv kernels stay replicated — they
-    are small relative to activations for 224² inputs.
+    stack at large common_dim).
+
+    ``min_tp_conv`` > 0 additionally shards 4-D conv kernels (kh, kw, cin,
+    cout) over their output-channel dim when cout >= min_tp_conv and cout
+    divides by the model-axis size — channel TP for the CNN backbone itself.
+    GSPMD then propagates the channel sharding to the activations, so BN
+    statistic reductions stay local to each model shard and the cross-shard
+    collectives ride the convolutions' cin contractions. 0 (default)
+    replicates convs — the right default when activations dominate (224²
+    inputs, small models) and DP alone saturates.
     """
     n_model = mesh.shape["model"]
 
     def rule(path, leaf):
-        if n_model > 1 and hasattr(leaf, "ndim") and leaf.ndim == 2:
-            out_dim = leaf.shape[1]
-            in_dim = leaf.shape[0]
-            if out_dim >= min_tp_dim and out_dim % n_model == 0:
-                return NamedSharding(mesh, P(None, "model"))
-            if in_dim >= min_tp_dim and in_dim % n_model == 0:
-                return NamedSharding(mesh, P("model", None))
+        if n_model > 1 and hasattr(leaf, "ndim"):
+            if leaf.ndim == 2:
+                in_dim, out_dim = leaf.shape
+                if out_dim >= min_tp_dim and out_dim % n_model == 0:
+                    return NamedSharding(mesh, P(None, "model"))
+                if in_dim >= min_tp_dim and in_dim % n_model == 0:
+                    return NamedSharding(mesh, P("model", None))
+            if min_tp_conv and leaf.ndim == 4:
+                cout = leaf.shape[3]
+                if cout >= min_tp_conv and cout % n_model == 0:
+                    return NamedSharding(mesh, P(None, None, None, "model"))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_params(mesh: Mesh, params, min_tp_dim: int = 1024):
+def shard_params(mesh: Mesh, params, min_tp_dim: int = 1024, min_tp_conv: int = 0):
     """Device-put params according to param_sharding_rules."""
-    shardings = param_sharding_rules(mesh, params, min_tp_dim)
+    shardings = param_sharding_rules(mesh, params, min_tp_dim, min_tp_conv)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

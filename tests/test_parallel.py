@@ -109,3 +109,49 @@ def test_train_process_on_mesh():
     )
     assert np.isfinite(history["train_loss"]).all()
     assert np.isfinite(metrics["balanced_accuracy"])
+
+
+def test_conv_channel_tp_matches_single_device():
+    """Conv-channel TP (min_tp_conv): a CNN backbone with cout-sharded conv
+    kernels must match single-device numerics, and must actually shard >1
+    backbone conv param (VERDICT r1 #6)."""
+    model = MultimodalModel(
+        num_classes=4, num_heads=4, cnn_model_name="resnet-18",
+        common_dim=32, text_encoder_dim_output=32, vocab_size=16,
+        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+    )
+    src = synthetic_source(n=16, image_size=(64, 64), feature_dim=16, num_classes=4)
+    batch = src.batch(np.arange(16))
+    # SGD, not Adam: Adam's first update is ±lr·sign(grad), so cross-shard
+    # reduction-order noise on near-zero grads flips whole ±lr steps; SGD
+    # keeps the comparison proportional to the actual gradient difference.
+    import optax
+
+    tx = optax.sgd(1e-3)
+    state = create_train_state(model, jax.random.key(0), batch, tx)
+    loss_fn = make_loss_fn("ce")
+    step = make_train_step(model, tx, loss_fn, augment=False, image_dtype=jnp.float32)
+
+    im = jnp.asarray(batch["image"], jnp.float32)
+    s1, loss1 = step(state, im, jnp.asarray(batch["metadata"]),
+                     jnp.asarray(batch["label"]), jax.random.key(7))
+    loss1 = float(loss1)
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    state2 = create_train_state(model, jax.random.key(0), batch, tx)
+    dstate = distribute_state(mesh, state2, min_tp_dim=1024, min_tp_conv=128)
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(dstate.params)
+        if getattr(leaf, "ndim", 0) == 4
+        and "model" in str(getattr(leaf.sharding, "spec", ""))
+    )
+    assert n_sharded > 1, f"expected sharded backbone convs, got {n_sharded}"
+
+    dbatch = shard_batch(mesh, {**batch, "image": np.asarray(im)})
+    s2, loss2 = step(dstate, dbatch["image"], dbatch["metadata"],
+                     dbatch["label"], jax.random.key(7))
+    np.testing.assert_allclose(float(loss2), loss1, rtol=1e-4)
+    a = jax.tree_util.tree_leaves(jax.device_get(s1.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(s2.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
