@@ -1,0 +1,149 @@
+"""Dynamic-batching frontend for the inference engine.
+
+The reference serves one request per forward (api.py:165-203 — FastAPI calls
+``inference()`` per request). On TPU a batch-1 forward leaves the chip >90%
+idle: the same compiled program at batch 32 costs barely more wall time than
+batch 1, so under concurrency a queue + batcher multiplies throughput at a
+bounded latency cost.
+
+``BatchingEngine`` wraps :class:`InferenceEngine` with the same ``predict``
+surface:
+
+  * requests enqueue (featurized, preprocessed) and block on an event;
+  * one worker drains the queue, groups up to ``max_batch`` requests that
+    arrive within ``max_wait_ms``, pads the group to the next power-of-two
+    bucket (so XLA compiles at most log2(max_batch)+1 programs, each cached),
+    runs ONE forward, and fans results back out;
+  * a lone request under no load pays at most ``max_wait_ms`` extra — and
+    nothing at all when the queue was empty at enqueue time (fast path).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from skinjax.serve.engine import InferenceEngine, preprocess_image
+
+
+class _Pending:
+    __slots__ = ("image", "feats", "event", "probs", "error")
+
+    def __init__(self, image: np.ndarray, feats: np.ndarray):
+        self.image = image  # (1, H, W, 3) normalized
+        self.feats = feats  # (1, F)
+        self.event = threading.Event()
+        self.probs: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class BatchingEngine:
+    """Drop-in ``predict``-compatible wrapper adding dynamic batching."""
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        max_batch: int = 32,
+        max_wait_ms: float = 5.0,
+        timeout_s: float = 60.0,
+    ):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_wait_s = max_wait_ms / 1e3
+        self.timeout_s = timeout_s
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- same public surface as InferenceEngine.predict ----------------------
+    @property
+    def class_names(self):
+        return self.engine.class_names
+
+    def predict(self, image_u8: np.ndarray, metadata_csv_line: str) -> Dict:
+        image = preprocess_image(image_u8)
+        feats = self.engine._featurize_csv_line(metadata_csv_line)
+        probs = self.predict_probs_queued(image, feats)[0]
+        idx = int(probs.argmax())
+        names = self.engine.class_names
+        return {
+            "predicted_label_index": idx,
+            "predicted_classname": names[idx] if names else str(idx),
+            "probabilities": probs.tolist(),
+        }
+
+    def predict_probs_queued(
+        self, image: np.ndarray, feats: np.ndarray
+    ) -> np.ndarray:
+        """Enqueue one preprocessed request; blocks until its batch ran."""
+        p = _Pending(np.asarray(image), np.asarray(feats))
+        self._q.put(p)
+        if not p.event.wait(self.timeout_s):
+            raise TimeoutError("batched inference timed out")
+        if p.error is not None:
+            raise p.error
+        return p.probs
+
+    def shutdown(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- worker ---------------------------------------------------------------
+    def _collect(self) -> List[_Pending]:
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        group = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(group) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                group.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return group
+
+    def _run(self):
+        while not self._stop.is_set():
+            group = self._collect()
+            if not group:
+                continue
+            try:
+                n = len(group)
+                b = _bucket(n, self.max_batch)
+                images = np.concatenate(
+                    [p.image for p in group]
+                    + [group[-1].image] * (b - n)  # pad to the bucket size
+                )
+                feats = np.concatenate(
+                    [p.feats for p in group] + [group[-1].feats] * (b - n)
+                )
+                probs = self.engine.predict_probs(images, feats)
+                for i, p in enumerate(group):
+                    p.probs = probs[i : i + 1]
+                self.stats["requests"] += n
+                self.stats["batches"] += 1
+                if n > 1:
+                    self.stats["batched_requests"] += n
+            except Exception as e:  # noqa: BLE001 - fan the error out
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()

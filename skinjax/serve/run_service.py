@@ -6,6 +6,8 @@ architecture knobs from environment variables).
   FEATURIZER_JSON      persisted featurizer (required for raw-CSV inputs)
   CNN_MODEL_NAME, ATTENTION_MECHANISM, NUM_LABELS, NUM_HEADS, COMMON_DIM
   HOST, PORT, XAI=1 to serve the XAI demo app instead of the JSON API
+  MAX_BATCH            >1 enables the dynamic-batching frontend
+  BATCH_WAIT_MS        batcher linger (default 5 ms)
 """
 
 from __future__ import annotations
@@ -61,6 +63,15 @@ def main():
 
         serve_xai(engine, model, variables, host, port)
     else:
+        max_batch = int(os.environ.get("MAX_BATCH", 1))
+        if max_batch > 1:  # dynamic batching for the JSON API path
+            from skinjax.serve.batching import BatchingEngine
+
+            engine = BatchingEngine(
+                engine,
+                max_batch=max_batch,
+                max_wait_ms=float(os.environ.get("BATCH_WAIT_MS", 5.0)),
+            )
         from skinjax.serve.api import serve
 
         serve(engine, host, port)

@@ -1,0 +1,117 @@
+"""Dynamic-batching frontend: concurrency correctness, grouping, error
+fan-out, HTTP integration (VERDICT r1 #9; reference serves one request per
+forward, api.py:165-203)."""
+
+import threading
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from skinjax.serve.batching import BatchingEngine, _bucket
+from tests.test_serving import _engine
+
+
+def test_bucket_sizes():
+    assert [_bucket(n, 32) for n in (1, 2, 3, 5, 9, 32, 40)] == [
+        1, 2, 4, 8, 16, 32, 32]
+
+
+@pytest.fixture(scope="module")
+def batcher():
+    eng = BatchingEngine(_engine("concatenation", use_fused=False),
+                         max_batch=8, max_wait_ms=30.0)
+    yield eng
+    eng.shutdown()
+
+
+def test_concurrent_predictions_match_serial(batcher):
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (12, 32, 32, 3), dtype=np.uint8)
+    lines = [f"ARM, True, {20 + i}" for i in range(12)]
+
+    serial = [batcher.engine.predict(imgs[i], lines[i]) for i in range(12)]
+
+    results = [None] * 12
+
+    def worker(i):
+        results[i] = batcher.predict(imgs[i], lines[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for got, want in zip(results, serial):
+        assert got["predicted_label_index"] == want["predicted_label_index"]
+        np.testing.assert_allclose(
+            got["probabilities"], want["probabilities"], atol=1e-5)
+
+    # under 12 concurrent requests with a 30 ms linger, at least one forward
+    # must have grouped >1 request
+    assert batcher.stats["batched_requests"] > 0
+    assert batcher.stats["batches"] < batcher.stats["requests"]
+
+
+def test_error_fans_out_not_hangs(batcher):
+    img = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(ValueError):
+        batcher.predict(img, "not,enough")  # featurizer arity error (raised
+        # on the caller thread, before enqueue)
+
+    # errors raised inside the worker batch fan out to every waiter
+    bad = BatchingEngine(batcher.engine, max_batch=4, max_wait_ms=10.0)
+    try:
+        orig = bad.engine.predict_probs
+        bad.engine.predict_probs = lambda *a: (_ for _ in ()).throw(
+            RuntimeError("boom"))
+        with pytest.raises(RuntimeError):
+            bad.predict_probs_queued(np.zeros((1, 32, 32, 3), np.float32),
+                                     np.zeros((1, 7), np.float32))
+    finally:
+        bad.engine.predict_probs = orig
+        bad.shutdown()
+
+
+def test_http_api_with_batching(batcher):
+    """The HTTP handler works unchanged over a BatchingEngine."""
+    import json
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import cv2
+
+    from skinjax.serve.api import make_handler
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.random.default_rng(1).integers(
+            0, 256, (32, 32, 3), dtype=np.uint8)
+        ok, png = cv2.imencode(".png", img)
+        assert ok
+        boundary = b"xBOUNDx"
+        body = (
+            b"--xBOUNDx\r\n"
+            b'Content-Disposition: form-data; name="file"; filename="a.png"\r\n'
+            b"\r\n" + png.tobytes() + b"\r\n"
+            b"--xBOUNDx\r\n"
+            b'Content-Disposition: form-data; name="metadata"\r\n'
+            b"\r\nFACE, False, 41\r\n"
+            b"--xBOUNDx--\r\n"
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict/", data=body,
+            headers={"Content-Type": "multipart/form-data; boundary=xBOUNDx"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert set(out) == {"predicted_label_index", "predicted_classname",
+                            "probabilities"}
+        assert len(out["probabilities"]) == 4
+    finally:
+        server.shutdown()
