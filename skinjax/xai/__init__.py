@@ -13,7 +13,8 @@ from skinjax.xai.perturbation import (
     run_flip_analysis,
     simulate_missing_metadata,
 )
-from skinjax.xai.tabular import kernel_shap, lime_tabular, permutation_importance
+from skinjax.xai.tabular import (kernel_shap, lime_tabular,
+    lime_tabular_categorical, permutation_importance)
 
 __all__ = [
     "grad_cam",
@@ -32,5 +33,6 @@ __all__ = [
     "simulate_missing_metadata",
     "kernel_shap",
     "lime_tabular",
+    "lime_tabular_categorical",
     "permutation_importance",
 ]

@@ -49,6 +49,70 @@ def lime_tabular(
     return np.linalg.solve(A, b)
 
 
+def lime_tabular_categorical(
+    predict_probs: Callable[[np.ndarray], np.ndarray],
+    x: np.ndarray,
+    class_idx: int,
+    training_data: np.ndarray,
+    categorical_idx: Sequence[int],
+    num_samples: int = 1000,
+    kernel_width: Optional[float] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """LIME with categorical sampling semantics (lime.lime_tabular with
+    ``categorical_features``; the reference's explainer call is
+    lime_padufes20.py:84-116 over the one-hot feature space).
+
+    Per LIME's algorithm: categorical features are resampled from their
+    *training frequency* distribution; the surrogate design matrix uses the
+    binary match indicator (1 if the perturbed value equals the instance's)
+    instead of the raw value; continuous features perturb Gaussian scaled by
+    the training std. Returns per-feature attribution weights (F,).
+    """
+    rng = np.random.default_rng(seed)
+    F = x.shape[0]
+    cat = np.zeros(F, dtype=bool)
+    cat[np.asarray(list(categorical_idx), dtype=int)] = True
+    std = training_data.std(axis=0)
+
+    Z = np.tile(x[None], (num_samples, 1)).astype(np.float64)
+    # continuous: Gaussian around the instance, scaled by training std
+    cont = ~cat
+    if cont.any():
+        Z[:, cont] = x[cont][None] + rng.normal(
+            size=(num_samples, int(cont.sum()))
+        ) * np.maximum(std[cont], 1e-8)[None]
+    # categorical: draw from the column's empirical training distribution
+    for j in np.where(cat)[0]:
+        vals, counts = np.unique(training_data[:, j], return_counts=True)
+        Z[:, j] = rng.choice(vals, size=num_samples, p=counts / counts.sum())
+    Z[0] = x
+
+    y = predict_probs(Z.astype(np.float32))[:, class_idx]
+
+    # interpretable representation: binary match for categoricals,
+    # std-normalized value for continuous (LIME's data_inverse convention)
+    X_int = np.empty_like(Z)
+    X_int[:, cat] = (Z[:, cat] == x[cat][None]).astype(np.float64)
+    if cont.any():
+        X_int[:, cont] = (Z[:, cont] - x[cont][None]) / np.maximum(
+            std[cont], 1e-8
+        )[None]
+
+    ref = np.empty(F)
+    ref[cat] = 1.0  # the instance matches itself
+    ref[cont] = 0.0
+    d = np.sqrt(((X_int - ref[None]) ** 2).sum(axis=1))
+    kw = kernel_width if kernel_width is not None else np.sqrt(F) * 0.75
+    w = np.exp(-(d**2) / (kw**2))
+
+    Xc = X_int - X_int.mean(axis=0)
+    yc = y - y.mean()
+    A = Xc.T @ (w[:, None] * Xc) + 1e-3 * np.eye(F)
+    b = Xc.T @ (w * yc)
+    return np.linalg.solve(A, b)
+
+
 def kernel_shap(
     predict_probs: Callable[[np.ndarray], np.ndarray],
     x: np.ndarray,

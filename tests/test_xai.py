@@ -163,3 +163,60 @@ def test_kernel_shap_sums_to_prediction_gap():
     f_x = predict(x[None].astype(np.float32))[0, 0]
     f_bg = predict(bg.mean(0, keepdims=True).astype(np.float32))[0, 0]
     np.testing.assert_allclose(phi.sum(), f_x - f_bg, atol=1e-6)
+
+
+def test_lime_categorical_sampling_mode():
+    """Categorical features resample from training frequencies and the
+    surrogate uses match indicators: a feature the model depends on through
+    equality (not magnitude) must get the top attribution
+    (lime.lime_tabular categorical_features semantics)."""
+    from skinjax.xai.tabular import lime_tabular_categorical
+
+    rng = np.random.default_rng(0)
+    n, F = 400, 4
+    train = np.column_stack([
+        rng.choice([0.0, 1.0, 2.0], n),          # categorical, 3 levels
+        rng.choice([0.0, 1.0], n),               # categorical, 2 levels
+        rng.normal(0, 2.0, n),                   # continuous
+        rng.normal(0, 0.5, n),                   # continuous
+    ])
+
+    def predict(Z):
+        # class-1 prob depends ONLY on cat0 == 2 (equality, not magnitude)
+        p1 = 0.1 + 0.8 * (Z[:, 0] == 2.0)
+        return np.column_stack([1 - p1, p1]).astype(np.float32)
+
+    x = np.array([2.0, 1.0, 0.3, -0.1])
+    phi = lime_tabular_categorical(
+        predict, x, class_idx=1, training_data=train,
+        categorical_idx=[0, 1], num_samples=4000, seed=1,
+    )
+    assert np.argmax(np.abs(phi)) == 0
+    assert phi[0] > 0  # matching the instance's category raises the prob
+    assert abs(phi[0]) > 5 * max(abs(phi[2]), abs(phi[3]))
+
+
+def test_score_cam_topk_error_bound():
+    """Exact-by-default sweep vs top-k approximation: the top-k CAM must stay
+    within a small max-abs error of the exact CAM (VERDICT r1 #10). Needs a
+    spatially non-degenerate feature map, so 64² inputs (2×2×512 for
+    resnet-18) rather than cam_setup's 1×1."""
+    model = MultimodalModel(
+        num_classes=NCLS, num_heads=4, cnn_model_name="resnet-18",
+        common_dim=32, text_encoder_dim_output=32, vocab_size=VOCAB,
+        attention_mechanism="concatenation",
+    )
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    meta = jnp.asarray(rng.normal(size=(2, VOCAB)), jnp.float32)
+    variables = model.init(jax.random.key(1), img, meta)
+    cls = jnp.asarray([0, 1], jnp.int32)
+
+    exact = np.asarray(score_cam(model, variables, img, meta, cls,
+                                 batch_channels=64))
+    approx = np.asarray(score_cam(model, variables, img, meta, cls,
+                                  top_k=64, batch_channels=64))
+    assert exact.std() > 0  # non-degenerate CAM
+    err = np.max(np.abs(exact - approx))
+    corr = np.corrcoef(exact.ravel(), approx.ravel())[0, 1]
+    assert err < 0.25 and corr > 0.9, (err, corr)
