@@ -84,10 +84,12 @@ def rotate_batch_rows(img, angle_rad, max_deg: float = 60.0):
     import math
 
     B, H, W, C = img.shape
+    # |cos|+|sin| peaks at 45°: for angle ranges crossing it, pad for the peak
     a = math.radians(max_deg)
-    pad = int(math.ceil(
-        max(H, W) / 2.0 * (abs(math.cos(a)) + abs(math.sin(a)) - 1.0)
-    )) + 2
+    factor = math.sqrt(2.0) if max_deg >= 45.0 else (
+        abs(math.cos(a)) + abs(math.sin(a))
+    )
+    pad = int(math.ceil(max(H, W) / 2.0 * (factor - 1.0))) + 2
     Hp, Wp = H + 2 * pad, W + 2 * pad
     p = jnp.pad(img, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
     rows = p.transpose(1, 2, 0, 3).reshape(Hp * Wp, B * C)
@@ -112,6 +114,36 @@ def rotate_batch_rows(img, angle_rad, max_deg: float = 60.0):
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     out = top * (1 - wy) + bot * wy  # (H*W, B*C)
+    return out.reshape(H, W, B, C).transpose(2, 0, 1, 3)
+
+
+def zoom_batch_rows(img, sy, sx):
+    """Batch zoom-in (A.Affine scale ≥ 1) via the same row-gather bilinear
+    scheme as ``rotate_batch_rows``. Source coords stay in-bounds for
+    sy, sx ≥ 1, so no border padding is needed. img: (B, H, W, C)."""
+    B, H, W, C = img.shape
+    rows = img.transpose(1, 2, 0, 3).reshape(H * W, B * C)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None] - cy
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :] - cx
+    src_y = jnp.broadcast_to(yy / sy + cy, (H, W))
+    src_x = jnp.broadcast_to(xx / sx + cx, (H, W))
+    # clip BEFORE computing lerp weights so the last row/column (floor == H-1)
+    # interpolates as (1-w)=0 on the clipped base texel, not off-by-one
+    y0 = jnp.clip(jnp.floor(src_y).astype(jnp.int32), 0, H - 2)
+    x0 = jnp.clip(jnp.floor(src_x).astype(jnp.int32), 0, W - 2)
+    wy = (src_y - y0).reshape(-1, 1).astype(img.dtype)
+    wx = (src_x - x0).reshape(-1, 1).astype(img.dtype)
+    y0 = y0.reshape(-1)
+    x0 = x0.reshape(-1)
+    base = y0 * W + x0
+    v00 = rows[base]
+    v01 = rows[base + 1]
+    v10 = rows[base + W]
+    v11 = rows[base + W + 1]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    out = top * (1 - wy) + bot * wy
     return out.reshape(H, W, B, C).transpose(2, 0, 1, 3)
 
 
@@ -182,23 +214,32 @@ def hsv_to_rgb(img):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def coarse_dropout(img, key, max_holes: int = 5, hole: int = 8):
+def coarse_dropout(img, key, max_holes: int = 5, hole: int = 8,
+                   min_holes: int = 1):
     """Zero out up to max_holes hole×hole squares (A.CoarseDropout parity)."""
     H, W = img.shape[0], img.shape[1]
     kys, kxs, kn = jax.random.split(key, 3)
     ys = jax.random.randint(kys, (max_holes,), 0, max(H - hole, 1))
     xs = jax.random.randint(kxs, (max_holes,), 0, max(W - hole, 1))
-    n_holes = jax.random.randint(kn, (), 1, max_holes + 1)
-    yy = jnp.arange(H)[:, None]
-    xx = jnp.arange(W)[None, :]
-    mask = jnp.ones((H, W), dtype=img.dtype)
-    for i in range(max_holes):
-        inside = (
-            (yy >= ys[i]) & (yy < ys[i] + hole) & (xx >= xs[i]) & (xx < xs[i] + hole)
-        )
-        active = (i < n_holes).astype(img.dtype)
-        mask = mask * (1.0 - inside.astype(img.dtype) * active)
+    n_holes = jax.random.randint(kn, (), min_holes, max_holes + 1)
+    yy = jnp.arange(H)[None, :, None]
+    xx = jnp.arange(W)[None, None, :]
+    inside = (
+        (yy >= ys[:, None, None]) & (yy < ys[:, None, None] + hole)
+        & (xx >= xs[:, None, None]) & (xx < xs[:, None, None] + hole)
+    )
+    active = (jnp.arange(max_holes) < n_holes)[:, None, None]
+    mask = 1.0 - jnp.any(inside & active, axis=0).astype(img.dtype)
     return img * mask[..., None]
+
+
+def pixel_dropout(img, key, max_prob: float = 0.05):
+    """A.PixelDropout with drop_prob ~ U(0, max_prob) (the reference draws
+    the prob per transform build, skinLesionDatasetsWithBert.py:83,96)."""
+    kp, kb = jax.random.split(key)
+    prob = jax.random.uniform(kp, (), minval=0.0, maxval=max_prob)
+    keep = (jax.random.uniform(kb, img.shape[:2]) >= prob).astype(img.dtype)
+    return img * keep[..., None]
 
 
 def _augment_one(img, key, cfg):
@@ -227,20 +268,50 @@ def _augment_one(img, key, cfg):
     img = jnp.where(jax.random.uniform(keys[2]) < cfg["p_hflip"], img[:, ::-1], img)
     img = jnp.where(jax.random.uniform(keys[3]) < cfg["p_vflip"], img[::-1], img)
 
-    # Coarse dropout, p=0.15
-    dropped = coarse_dropout(img, keys[6])
+    # Dropout stage: default = CoarseDropout p=0.15; sentence recipe = OneOf
+    # [PixelDropout(U(0,.05)), CoarseDropout(62×4×4)] p=0.1
+    # (skinLesionDatasetsWithBert.py:94-103)
+    if cfg.get("dropout_oneof"):
+        kd1, kd2, kpick = jax.random.split(keys[6], 3)
+        dropped_pix = pixel_dropout(img, kd1, cfg["pixel_drop_max"])
+        dropped_coa = coarse_dropout(
+            img, kd2, max_holes=cfg["holes"], hole=cfg["hole_size"],
+            min_holes=cfg["holes"],
+        )
+        pick = jax.random.uniform(kpick) < 0.5
+        dropped = jnp.where(pick, dropped_pix, dropped_coa)
+    else:
+        dropped = coarse_dropout(img, keys[6])
     img = jnp.where(jax.random.uniform(keys[7]) < cfg["p_dropout"], dropped, img)
 
     # HSV jitter (hue ±10/360ths of cv2's 0..180 scale => ±10/180 turns? cv2
     # hue is 0..179 so shift 10 == 10/180 of a full turn), p=0.25
+    hl, sl, vl = cfg.get("hsv_limits", (10.0, 15.0, 10.0))
     do_hsv = jax.random.uniform(keys[8]) < cfg["p_hsv"]
     sh = jax.random.uniform(keys[9], (3,), minval=-1.0, maxval=1.0)
     hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
-    h = (hsv[..., 0] + sh[0] * (10.0 / 180.0) * do_hsv) % 1.0
-    s = jnp.clip(hsv[..., 1] + sh[1] * (15.0 / 255.0) * do_hsv, 0.0, 1.0)
-    v = jnp.clip(hsv[..., 2] + sh[2] * (10.0 / 255.0) * do_hsv, 0.0, 1.0)
-    img = hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+    h = (hsv[..., 0] + sh[0] * (hl / 180.0) * do_hsv) % 1.0
+    s = jnp.clip(hsv[..., 1] + sh[1] * (sl / 255.0) * do_hsv, 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] + sh[2] * (vl / 255.0) * do_hsv, 0.0, 1.0)
+    hsved = hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
 
+    if cfg.get("color_oneof"):
+        # Sentence recipe: OneOf[MultiplicativeNoise(.9–1.1, scalar or
+        # per-channel), HSV] at p_hsv total (skinLesionDatasetsWithBert.py:
+        # 104-110); the same keys[8] gate covers the OneOf, keys[10]/[11]
+        # (brightness in the default recipe) drive the noise branch.
+        pick_noise = jax.random.uniform(keys[10]) < 0.5
+        kmode, kmul = jax.random.split(keys[11])
+        per_ch = jax.random.uniform(kmode) < 0.5
+        mul = jax.random.uniform(kmul, (3,), minval=cfg["noise_lo"],
+                                 maxval=cfg["noise_hi"])
+        mul = jnp.where(per_ch, mul, mul[0])
+        noised = jnp.clip(img * mul, 0.0, 1.0)
+        img = jnp.where(do_hsv & pick_noise, noised,
+                        jnp.where(do_hsv, hsved, img))
+        return img.astype(in_dtype)
+
+    img = hsved
     # Brightness/contrast ±0.2, p=0.25
     do_bc = jax.random.uniform(keys[10]) < cfg["p_bc"]
     ab = jax.random.uniform(keys[11], (2,), minval=-0.2, maxval=0.2)
@@ -253,6 +324,21 @@ def _augment_one(img, key, cfg):
 DEFAULT_CFG = dict(
     rotate_deg=45.0, p_rotate=0.5, p_hflip=0.5, p_vflip=0.2,
     blur_sigma=2.0, p_blur=0.25, p_dropout=0.15, p_hsv=0.25, p_bc=0.25,
+)
+
+# The sentence-dataset (LLM-generated text) recipe is heavier
+# (skinLesionDatasetsWithBert.py:84-110): Affine scale x/y ~ U(1,2) p=.25,
+# rotate ±120° p=.25, blur σ≤3 p=.25, OneOf[PixelDropout U(0,.05),
+# CoarseDropout(⌊.00125·H·W⌋ 4×4 holes)] p=.1,
+# OneOf[MultiplicativeNoise(.9–1.1), HSV(10,10,0)] p=.25, no brightness.
+SENTENCE_CFG = dict(
+    rotate_deg=120.0, p_rotate=0.25, p_hflip=0.5, p_vflip=0.2,
+    blur_sigma=3.0, p_blur=0.25, p_dropout=0.1, p_hsv=0.25, p_bc=0.0,
+    p_scale=0.25, scale_max=2.0,
+    dropout_oneof=True, pixel_drop_max=0.05,
+    holes=int(0.00125 * 224 * 224), hole_size=4,
+    color_oneof=True, noise_lo=0.9, noise_hi=1.1,
+    hsv_limits=(10.0, 10.0, 0.0),
 )
 
 # Distinct rotation angles sampled per batch; each sample draws one of them
@@ -294,6 +380,36 @@ def _blur_groups(img, key, cfg):
     return out
 
 
+def _scale_groups(img, key, cfg):
+    """Batch-level zoom (A.Affine scale x/y ~ U(1, scale_max), p_scale) using
+    the slice-per-group strategy of ``_rotate_groups`` — per-group (sy, sx),
+    per-sample gate. Sentence-dataset recipe only
+    (skinLesionDatasetsWithBert.py:85)."""
+    B = img.shape[0]
+    G = N_ROT_GROUPS
+    k_s, k_grp, k_gate = jax.random.split(key, 3)
+    scales = jax.random.uniform(
+        k_s, (G, 2), minval=1.0, maxval=cfg["scale_max"]
+    )
+    gate = jax.random.uniform(k_gate, (B,)) < cfg["p_scale"]
+    if B % G == 0:
+        S = B // G
+        outs = []
+        for g in range(G):
+            sl = img[g * S:(g + 1) * S]
+            zoomed = zoom_batch_rows(sl, scales[g, 0], scales[g, 1])
+            mask = gate[g * S:(g + 1) * S][:, None, None, None]
+            outs.append(jnp.where(mask, zoomed, sl))
+        return jnp.concatenate(outs, axis=0)
+    grp = jax.random.randint(k_grp, (B,), 0, G)
+    out = img
+    for g in range(G):
+        zoomed = zoom_batch_rows(img, scales[g, 0], scales[g, 1])
+        mask = (gate & (grp == g))[:, None, None, None]
+        out = jnp.where(mask, zoomed, out)
+    return out
+
+
 def _rotate_groups(img, key, cfg):
     """Batch-level rotation: img (B, H, W, 3), per-sample gate + group angle.
 
@@ -326,15 +442,18 @@ def _rotate_groups(img, key, cfg):
     return out
 
 
-@partial(jax.jit, static_argnames=("train", "out_dtype", "fused_color"))
+@partial(jax.jit,
+         static_argnames=("train", "out_dtype", "fused_color", "recipe"))
 def augment_batch(
     images_u8, key, train: bool = True, out_dtype=jnp.float32,
-    fused_color: bool = None,
+    fused_color: bool = None, recipe: str = "default",
 ):
     """uint8 (B, H, W, 3) → normalized (B, H, W, 3) in out_dtype.
 
     Train: full stochastic pipeline; eval: normalize only
-    (skinLesionDatasets.py:113-119).
+    (skinLesionDatasets.py:113-119). ``recipe='sentence'`` applies the
+    heavier sentence-dataset distribution (SENTENCE_CFG, reference
+    skinLesionDatasetsWithBert.py:84-110).
 
     ``fused_color`` routes the color stage (dropout/HSV/brightness/normalize)
     through the Pallas kernel (ops/pallas/augment_kernel.py). Measured on v5e
@@ -342,7 +461,8 @@ def augment_batch(
     the same chain — XLA already fuses this well, so the kernel stays
     opt-in (it exists as the template for future per-sample-geometry fusion).
     """
-    if fused_color is None:
+    if fused_color is None or recipe == "sentence":
+        # the Pallas color kernel implements the default recipe's color chain
         fused_color = False
     # compute the pipeline in the training dtype: bf16 pixels in [0,1] carry
     # the full uint8 source precision, and every augmentation pass (gathers,
@@ -355,9 +475,13 @@ def augment_batch(
         )
         return img.astype(out_dtype)
 
+    cfg = SENTENCE_CFG if recipe == "sentence" else DEFAULT_CFG
     k_rot, k_blur, k_flip, k_per = jax.random.split(key, 4)
-    img = _rotate_groups(img, k_rot, DEFAULT_CFG)
-    img = _blur_groups(img, k_blur, DEFAULT_CFG)
+    if cfg.get("p_scale", 0.0) > 0.0:
+        k_rot, k_scale = jax.random.split(k_rot)
+        img = _scale_groups(img, k_scale, cfg)
+    img = _rotate_groups(img, k_rot, cfg)
+    img = _blur_groups(img, k_blur, cfg)
 
     if fused_color:
         from skinjax.ops.pallas.augment_kernel import (
@@ -368,17 +492,17 @@ def augment_batch(
         B, H, W, _ = img.shape
         u = jax.random.uniform(k_flip, (B, 2))
         img = jnp.where(
-            (u[:, 0] < DEFAULT_CFG["p_hflip"])[:, None, None, None],
+            (u[:, 0] < cfg["p_hflip"])[:, None, None, None],
             img[:, :, ::-1], img,
         )
         img = jnp.where(
-            (u[:, 1] < DEFAULT_CFG["p_vflip"])[:, None, None, None],
+            (u[:, 1] < cfg["p_vflip"])[:, None, None, None],
             img[:, ::-1], img,
         )
-        fparams, iparams = draw_color_params(k_per, B, H, W, DEFAULT_CFG)
+        fparams, iparams = draw_color_params(k_per, B, H, W, cfg)
         return fused_color_stage(img, fparams, iparams, out_dtype=out_dtype)
 
     keys = jax.random.split(k_per, img.shape[0])
-    img = jax.vmap(lambda im, k: _augment_one(im, k, DEFAULT_CFG))(img, keys)
+    img = jax.vmap(lambda im, k: _augment_one(im, k, cfg))(img, keys)
     img = (img - IMAGENET_MEAN.astype(img.dtype)) / IMAGENET_STD.astype(img.dtype)
     return img.astype(out_dtype)

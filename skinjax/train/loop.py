@@ -53,6 +53,10 @@ class TrainConfig:
     unfreeze_weights: str = "unfrozen_weights"
     weighted_sampling: bool = True
     augment: bool = True
+    # 'default' (skinLesionDatasets.py:75-112) or 'sentence' — the heavier
+    # recipe the reference applies to LLM-sentence datasets
+    # (skinLesionDatasetsWithBert.py:84-110)
+    augment_recipe: str = "default"
     seed: int = 42
     image_dtype: str = "bfloat16"
     log_every: int = 0  # batches; 0 = epoch level only
@@ -169,6 +173,7 @@ def train_process(
     train_step = make_train_step_weighted(
         model, tx, loss_name=cfg.loss, focal_gamma=cfg.focal_gamma,
         augment=cfg.augment, image_dtype=_dtype(cfg),
+        recipe=cfg.augment_recipe,
     )
     cw_dev = jnp.asarray(class_weights)
     eval_step = make_eval_step(model, image_dtype=_dtype(cfg))

@@ -73,10 +73,14 @@ def make_train_step(
     loss_fn: Callable,
     augment: bool = True,
     image_dtype=jnp.bfloat16,
+    recipe: str = "default",
 ) -> Callable:
-    """Returns jitted (state, image_u8, metadata, label, rng) -> (state, loss)."""
+    """Returns jitted (state, image_u8, metadata, label, rng) -> (state, loss).
+
+    ``recipe='sentence'`` applies the heavier sentence-dataset augmentation
+    (data/augment.py SENTENCE_CFG, skinLesionDatasetsWithBert.py:84-110)."""
     try:
-        key = (model, tx, loss_fn, augment, jnp.dtype(image_dtype).name)
+        key = (model, tx, loss_fn, augment, jnp.dtype(image_dtype).name, recipe)
         cached = _TRAIN_STEP_CACHE.get(key)
         if cached is not None:
             return cached
@@ -85,7 +89,8 @@ def make_train_step(
 
     def step(state: TrainState, image_u8, metadata, label, rng):
         aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
-        image = augment_batch(image_u8, aug_rng, train=augment, out_dtype=image_dtype)
+        image = augment_batch(image_u8, aug_rng, train=augment,
+                              out_dtype=image_dtype, recipe=recipe)
         metadata = _cast_metadata(metadata, image_dtype)
 
         def loss_of(params):
@@ -131,6 +136,7 @@ def make_train_step_weighted(
     focal_gamma: float = 2.0,
     augment: bool = True,
     image_dtype=jnp.bfloat16,
+    recipe: str = "default",
 ) -> Callable:
     """Trace-cacheable train step: class weights are a CALL argument, so folds
     with different class distributions share one compiled program.
@@ -142,7 +148,7 @@ def make_train_step_weighted(
     wloss = weighted_loss(loss_name, focal_gamma)
     try:
         key = ("w", model, tx, loss_name, focal_gamma, augment,
-               jnp.dtype(image_dtype).name)
+               jnp.dtype(image_dtype).name, recipe)
         cached = _TRAIN_STEP_CACHE.get(key)
         if cached is not None:
             return cached
@@ -151,7 +157,8 @@ def make_train_step_weighted(
 
     def step(state: TrainState, image_u8, metadata, label, rng, class_weights):
         aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
-        image = augment_batch(image_u8, aug_rng, train=augment, out_dtype=image_dtype)
+        image = augment_batch(image_u8, aug_rng, train=augment,
+                              out_dtype=image_dtype, recipe=recipe)
         metadata = _cast_metadata(metadata, image_dtype)
 
         def loss_of(params):

@@ -45,7 +45,8 @@ def test_sentence_training_end_to_end():
     state, metrics, history = train_process(
         model, train, val, num_classes=ncls,
         config=TrainConfig(num_epochs=2, batch_size=16, learning_rate=1e-3,
-                           image_dtype="float32", augment=False),
+                           image_dtype="float32", augment=True,
+                           augment_recipe="sentence"),
     )
     assert np.isfinite(history["train_loss"]).all()
     assert history["probabilities"].shape == (16, ncls)
