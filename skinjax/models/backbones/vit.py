@@ -48,6 +48,41 @@ class ViTBlock(nn.Module):
         return x + scale(y, "gamma2")
 
 
+class _ViTScanBody(nn.Module):
+    """One ViTBlock in (carry, _) -> (carry, None) form for ``nn.scan``."""
+
+    dim: int
+    num_heads: int
+    layerscale_init: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = ViTBlock(
+            self.dim, self.num_heads, layerscale_init=self.layerscale_init,
+            dtype=self.dtype, name="block",
+        )(x, deterministic=self.deterministic)
+        return x, None
+
+
+def stack_block_params(params: dict, depth: int) -> dict:
+    """Convert per-layer ``block{i}`` params (loop layout / importer output)
+    to the stacked ``blocks/block`` layout of ``ViT(scan_blocks=True)`` —
+    every leaf gains a leading (depth,) axis. Non-block entries pass through.
+    """
+    import jax
+
+    out = {k: v for k, v in params.items() if not k.startswith("block")}
+    blocks = [params[f"block{i}"] for i in range(depth)]
+    out["blocks"] = {
+        "block": jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *blocks
+        )
+    }
+    return out
+
+
 class ViT(nn.Module):
     dim: int = 768
     depth: int = 12
@@ -56,6 +91,12 @@ class ViT(nn.Module):
     pool: str = "cls"  # "cls" | "mean" (BEiT-v2 mean-pools patch tokens)
     layerscale_init: Optional[float] = None
     dtype: Optional[jnp.dtype] = None
+    # nn.scan over the depth: the block body is traced/compiled ONCE instead
+    # of `depth` times — cuts trace+XLA time for deep encoders (vit-large 24
+    # blocks) at identical math. Params live stacked under blocks/block with
+    # a leading (depth,) axis; use ``stack_block_params`` to convert importer
+    # output. Opt-in: the loop layout stays the importer/checkpoint default.
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, tokens: bool = False):
@@ -76,11 +117,25 @@ class ViT(nn.Module):
             "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
         ).astype(x.dtype)
         x = x + pos
-        for i in range(self.depth):
-            x = ViTBlock(
-                self.dim, self.num_heads, layerscale_init=self.layerscale_init,
-                dtype=self.dtype, name=f"block{i}",
-            )(x, deterministic=not train)
+        if self.scan_blocks:
+            body = nn.scan(
+                _ViTScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+            )(
+                self.dim, self.num_heads,
+                layerscale_init=self.layerscale_init, dtype=self.dtype,
+                deterministic=not train, name="blocks",
+            )
+            x, _ = body(x, None)
+        else:
+            for i in range(self.depth):
+                x = ViTBlock(
+                    self.dim, self.num_heads,
+                    layerscale_init=self.layerscale_init,
+                    dtype=self.dtype, name=f"block{i}",
+                )(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if tokens:
             return x

@@ -18,7 +18,14 @@ from flax import linen as nn
 
 def build_hf_flax_module(model_name: str, local_path: Optional[str] = None):
     """Instantiate a HF Flax encoder. Tries local path / cache first; falls
-    back to from-config random init (offline)."""
+    back to from-config random init (offline).
+
+    The fallback is LOUD: a random-init encoder trains but cannot reproduce
+    published sentence-path accuracy, so degrading silently would corrupt
+    experiments. ``module.skinjax_pretrained`` records which path was taken.
+    """
+    import warnings
+
     from transformers import AutoConfig
 
     if model_name.startswith("gpt2"):
@@ -29,13 +36,24 @@ def build_hf_flax_module(model_name: str, local_path: Optional[str] = None):
         from transformers import BertConfig as Cfg
 
     try:
-        return Cls.from_pretrained(local_path or model_name)
-    except Exception:
+        module = Cls.from_pretrained(local_path or model_name)
+        module.skinjax_pretrained = True
+        return module
+    except Exception as e:
+        warnings.warn(
+            f"Could not load pretrained weights for {model_name!r} "
+            f"({type(e).__name__}: {e}); falling back to RANDOM init — "
+            "sentence-tower accuracy will not match published results. "
+            "Provide local_path (or an HF cache) for real weights.",
+            stacklevel=2,
+        )
         try:
             config = AutoConfig.from_pretrained(local_path or model_name)
         except Exception:
             config = Cfg()
-        return Cls(config)
+        module = Cls(config)
+        module.skinjax_pretrained = False
+        return module
 
 
 class HFSentenceTower(nn.Module):

@@ -55,7 +55,9 @@ def run_nas(
     source,
     num_classes: int,
     strategy: str = "reinforce",
-    search_steps: int = 50,
+    # reference default: SEARCH_STEPS = 500
+    # (nas/optimization_train_process_pad_20.py:474)
+    search_steps: int = 500,
     search_space: Optional[Dict] = None,
     train_cfg: Optional[TrainConfig] = None,
     evaluate_candidate: Optional[Callable[[Dict], float]] = None,
