@@ -2,14 +2,18 @@
 
 Prints ONE JSON line:
   {"metric": "train_images_per_sec_per_chip", "value": N,
-   "unit": "images/sec/chip", "vs_baseline": N}
+   "unit": "images/sec/chip", "vs_baseline": N,
+   "davit_tiny_images_per_sec": N, "infer_p50_ms": N}
 
-The measured program is the full production train step — on-device
+The primary metric is the full production train step — on-device
 augmentation + bf16 ResNet-50 + one-hot metadata tower + RG-ATT fusion +
 fp32 weighted-CE + backward + masked Adam — at batch 128 on one chip.
 ``vs_baseline`` is the ratio against the PyTorch-CPU reference-equivalent
 train step (measured once on this machine, cached in
 ``baseline_torch_cpu.json``; BASELINE.md: reference publishes no throughput).
+Extra fields: the transformer-family train step (davit_tiny, the reference's
+best published backbone, B=64, Pallas fused window attention) and the
+single-image inference p50 on the flagship (eval path, B=1).
 """
 
 import json
@@ -21,6 +25,7 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_torch_cpu.json")
 BATCH = 128
+DAVIT_BATCH = 64
 WARMUP = 3
 ITERS = 20
 
@@ -32,32 +37,19 @@ def _torch_cpu_baseline() -> float:
     return float("nan")
 
 
-def main():
+def _train_throughput(model, batch_size, loss_classes=6):
+    """Warm up + time the jitted full train step; returns images/sec."""
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    from skinjax.models import MultimodalModel
     from skinjax.train import make_loss_fn, make_optimizer, make_train_step
     from skinjax.train.steps import create_train_state
 
-    model = MultimodalModel(
-        num_classes=6, num_heads=8, cnn_model_name="resnet-50",
-        text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
-        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
-        dtype=jnp.bfloat16,
-    )
     rng = np.random.default_rng(0)
     batch = {
-        "image": rng.integers(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8),
-        "metadata": rng.normal(size=(BATCH, 91)).astype(np.float32),
-        "label": rng.integers(0, 6, BATCH).astype(np.int32),
+        "image": rng.integers(0, 256, (batch_size, 224, 224, 3), dtype=np.uint8),
+        "metadata": rng.normal(size=(batch_size, 91)).astype(np.float32),
+        "label": rng.integers(0, loss_classes, batch_size).astype(np.int32),
     }
     tx = make_optimizer(5e-5, 1e-4)
     # init on CPU (fast) then transfer: avoids a ~100s remote-compile of the
@@ -72,24 +64,93 @@ def main():
     except Exception:
         state = create_train_state(model, jax.random.key(0), batch, tx)
 
-    loss_fn = make_loss_fn("weighted_ce", np.ones(6, np.float32))
-    step = make_train_step(model, tx, loss_fn, augment=True, image_dtype=jnp.bfloat16)
+    loss_fn = make_loss_fn("weighted_ce", np.ones(loss_classes, np.float32))
+    step = make_train_step(model, tx, loss_fn, augment=True,
+                           image_dtype=jnp.bfloat16)
     im = jnp.asarray(batch["image"])
     md = jnp.asarray(batch["metadata"])
     lb = jnp.asarray(batch["label"])
     key = jax.random.key(1)
 
+    import jax as _jax
+
     for _ in range(WARMUP):
         state, loss = step(state, im, md, lb, key)
-    jax.block_until_ready(loss)
+    _jax.block_until_ready(loss)
 
     t0 = time.time()
     for _ in range(ITERS):
         state, loss = step(state, im, md, lb, key)
-    jax.block_until_ready(loss)
+    _jax.block_until_ready(loss)
     dt = (time.time() - t0) / ITERS
+    return batch_size / dt, state
 
-    ips = BATCH / dt
+
+def _infer_p50(model, state):
+    """Single-image eval-path latency (p50 over 50 calls), ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from skinjax.train.steps import make_eval_step
+
+    eval_step = make_eval_step(model, image_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    im = jnp.asarray(rng.integers(0, 256, (1, 224, 224, 3), dtype=np.uint8))
+    md = jnp.asarray(rng.normal(size=(1, 91)).astype(np.float32))
+    for _ in range(5):
+        out = eval_step(state, im, md)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        out = eval_step(state, im, md)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1000)
+    return float(np.percentile(times, 50))
+
+
+def main():
+    # must precede any skinjax import: davit/swin read the flag at import
+    # time to default their window attention to the Pallas fused kernel
+    os.environ.setdefault("SKINJAX_WINATTN", "pallas")
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from skinjax.models import MultimodalModel
+
+    flagship = MultimodalModel(
+        num_classes=6, num_heads=8, cnn_model_name="resnet-50",
+        text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+        dtype=jnp.bfloat16,
+    )
+    ips, state = _train_throughput(flagship, BATCH)
+
+    extras = {}
+    try:
+        extras["infer_p50_ms"] = round(_infer_p50(flagship, state), 1)
+    except Exception:
+        pass
+    try:
+        davit = MultimodalModel(
+            num_classes=6, num_heads=8, cnn_model_name="davit_tiny",
+            text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+            attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+            dtype=jnp.bfloat16,
+        )
+        davit_ips, _ = _train_throughput(davit, DAVIT_BATCH)
+        extras["davit_tiny_images_per_sec"] = round(davit_ips, 1)
+    except Exception:
+        pass
+
     base = _torch_cpu_baseline()
     vs = ips / base if np.isfinite(base) and base > 0 else None
     print(json.dumps({
@@ -97,6 +158,7 @@ def main():
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": None if vs is None else round(vs, 1),
+        **extras,
     }))
 
 

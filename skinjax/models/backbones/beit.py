@@ -67,10 +67,13 @@ class BeitAttention(nn.Module):
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
         bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
         qkv = x @ qkv_w.astype(x.dtype) + bias.astype(x.dtype)
-        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd), 3, axis=2)
-        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        # minor-axis slices (timm unit order [q|k|v][h][hd]); avoids the 5-D
+        # relayout copies the v5e trace showed for split+transpose
+        q = qkv[..., :C].reshape(B, N, h, hd)
+        k = qkv[..., C:2 * C].reshape(B, N, h, hd)
+        v = qkv[..., 2 * C:].reshape(B, N, h, hd)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
                           preferred_element_type=jnp.float32)
         gh, gw = self.grid
         table = self.param(
@@ -80,7 +83,7 @@ class BeitAttention(nn.Module):
         idx = jnp.asarray(beit_relative_position_index(gh, gw))
         attn = attn + table[idx].transpose(2, 0, 1)[None].astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(B, N, C))
 
 

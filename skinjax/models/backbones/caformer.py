@@ -78,12 +78,15 @@ class MetaFormerAttention(nn.Module):
         t = x.reshape(B, H * W, C)
         qkv = nn.Dense(3 * att_dim, use_bias=False, dtype=self.dtype,
                        name="qkv")(t)
-        q, k, v = jnp.split(qkv.reshape(B, -1, 3, h, hd), 3, axis=2)
-        q, k, v = (a[:, :, 0].transpose(0, 2, 1, 3) for a in (q, k, v))
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
+        # minor-axis slices (timm unit order [q|k|v][h][hd]); avoids the 5-D
+        # relayout copies the v5e trace showed for split+transpose
+        q = qkv[..., :att_dim].reshape(B, -1, h, hd)
+        k = qkv[..., att_dim:2 * att_dim].reshape(B, -1, h, hd)
+        v = qkv[..., 2 * att_dim:].reshape(B, -1, h, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(t.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(B, H * W, att_dim)
         out = nn.Dense(C, use_bias=False, dtype=self.dtype, name="proj")(out)
         return out.reshape(B, H, W, C)

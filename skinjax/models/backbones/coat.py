@@ -127,8 +127,13 @@ class CoaTLite(nn.Module):
                                  name=f"{blk}_norm1")(x)
                 qkv = nn.Dense(3 * dim, dtype=self.dtype,
                                name=f"{blk}_qkv")(y)
-                q, k, v = jnp.split(qkv.reshape(B, N, 3, h, Ch), 3, axis=2)
-                q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+                # minor-axis slices (timm unit order [q|k|v][h][hd]) — cheaper
+                # than the 5-D split+transpose relayout (one 4-D transpose)
+                q, k, v = (
+                    qkv[..., i * dim:(i + 1) * dim]
+                    .reshape(B, N, h, Ch).transpose(0, 2, 1, 3)
+                    for i in range(3)
+                )
                 # factorized attention: softmax(K over tokens)^T V, then Q
                 k_soft = jax.nn.softmax(k.astype(jnp.float32), axis=2)
                 k_soft = k_soft.astype(y.dtype)

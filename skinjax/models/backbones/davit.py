@@ -18,6 +18,7 @@ depthwise 3×3 conv the XLA fuser merges into the surrounding elementwise adds.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence
 
@@ -44,26 +45,64 @@ class ConvPosEnc(nn.Module):
         return x + y
 
 
+class DenseParams(nn.Module):
+    """Declares the exact param tree of nn.Dense (kernel + bias, same names,
+    shapes, inits) without running its matmul — lets fused kernels consume
+    the weights directly while staying checkpoint/importer-compatible."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_dim, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class DaViTWindowAttention(nn.Module):
-    """Window MHA without relative bias (timm davit WindowAttention)."""
+    """Window MHA without relative bias (timm davit WindowAttention).
+
+    ``fused=True`` routes through the Pallas fused window-attention kernel
+    (ops/pallas/window_attention.py) — same param tree, one HBM round trip
+    per block instead of qkv/score/softmax materializations."""
 
     dim: int
     num_heads: int
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         nB, N, C = x.shape
         h = self.num_heads
         hd = C // h
+        if self.fused:
+            from skinjax.ops.pallas.window_attention import window_attention
+
+            dt = self.dtype or x.dtype
+            wqkv, bqkv = DenseParams(3 * C, name="qkv")(C)
+            wproj, bproj = DenseParams(C, name="proj")(C)
+            return window_attention(
+                x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), None, None, h,
+            )
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(nB, N, 3, h, hd), 3, axis=2)
-        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        # minor-axis slices instead of reshape(…,3,h,hd)+split+transpose: the
+        # 5-D relayout cost ~6 ms/step of pure copies in the v5e trace (timm
+        # unit order is [q|k|v][h][hd], so [..., :C] IS q — identical math)
+        q = qkv[..., :C].reshape(nB, N, h, hd)
+        k = qkv[..., C:2 * C].reshape(nB, N, h, hd)
+        v = qkv[..., 2 * C:].reshape(nB, N, h, hd)
         scale = hd ** -0.5
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(nB, N, C))
 
 
@@ -81,17 +120,18 @@ class DaViTChannelAttention(nn.Module):
         h = self.num_heads
         hd = C // h
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd), 3, axis=2)
-        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        # minor-axis slices — see DaViTWindowAttention
+        q = qkv[..., :C].reshape(B, N, h, hd)
+        k = qkv[..., C:2 * C].reshape(B, N, h, hd)
+        v = qkv[..., 2 * C:].reshape(B, N, h, hd)
         scale = hd ** -0.5
         # attn[c,d] = sum_n (k*scale)[n,c] v[n,d]   (timm: k^T @ v)
-        attn = jnp.einsum("bhnc,bhnd->bhcd", k * scale, v,
+        attn = jnp.einsum("bnhc,bnhd->bhcd", k * scale, v,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         # out[n,c] = sum_d attn[c,d] q[n,d]         (timm: (attn @ q^T)^T)
-        out = jnp.einsum("bhcd,bhnd->bhnc", attn, q)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = jnp.einsum("bhcd,bnhd->bnhc", attn, q)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(B, N, C))
 
 
 class DaViTMlp(nn.Module):
@@ -113,6 +153,7 @@ class SpatialBlock(nn.Module):
     num_heads: int
     window: int = 7
     dtype: Optional[jnp.dtype] = None
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -121,7 +162,7 @@ class SpatialBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = window_partition(y, self.window)
         y = DaViTWindowAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                 name="attn")(y)
+                                 fused=self.fused_attn, name="attn")(y)
         y = window_reverse(y, self.window, H, W)
         x = x + y
         x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe2")(x)
@@ -171,6 +212,9 @@ class DaViT(nn.Module):
     heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 7
     dtype: Optional[jnp.dtype] = None
+    # Pallas fused window attention (ops/pallas/window_attention.py);
+    # default from SKINJAX_WINATTN=pallas (read at import time)
+    fused_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, features: bool = False):
@@ -182,6 +226,7 @@ class DaViT(nn.Module):
                 x = DaViTDownsample(dim, dtype=self.dtype, name=f"down{si}")(x)
             for bi in range(depth):
                 x = SpatialBlock(dim, h, self.window, dtype=self.dtype,
+                                 fused_attn=self.fused_attn,
                                  name=f"stage{si}_block{bi}_spatial")(x)
                 x = ChannelBlock(dim, h, dtype=self.dtype,
                                  name=f"stage{si}_block{bi}_channel")(x)

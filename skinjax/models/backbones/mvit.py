@@ -62,8 +62,12 @@ class MViTAttention(nn.Module):
         hd = self.dim_out // h
         H, W = self.feat
         qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, h, hd)
-        q, k, v = (qkv[:, :, i] for i in range(3))  # (B, N, h, hd)
+        d = self.dim_out
+        # minor-axis slices (timm unit order [q|k|v][h][hd]) — avoids the 5-D
+        # relayout copies the v5e trace showed for reshape(…,3,h,hd) splits
+        q, k, v = (
+            qkv[..., i * d:(i + 1) * d].reshape(B, N, h, hd) for i in range(3)
+        )  # (B, N, h, hd)
 
         def pool(t, stride, cname, nname):
             # (B, N, h, hd) -> per-head dw conv 3x3 -> (B, N', h, hd), N'=(H/s)^2

@@ -12,6 +12,7 @@ into the attention einsums); window attention runs as one batched MHA over
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -37,28 +38,20 @@ def window_reverse(x: jax.Array, w: int, H: int, W: int) -> jax.Array:
 
 
 class WindowAttention(nn.Module):
-    """MHA within windows with relative position bias (Swin-style)."""
+    """MHA within windows with relative position bias (Swin-style).
+
+    ``fused=True`` routes through the Pallas fused window-attention kernel
+    (ops/pallas/window_attention.py) — same param tree; the rel-pos bias is
+    materialized once as (h, N, N) and the shifted-window mask passes
+    through as the kernel's additive (nW, N, N) mask."""
 
     dim: int
     num_heads: int
     window: int
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False
 
-    @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None):
-        """x: (nB, w*w, C); mask: (nW, w*w, w*w) additive or None."""
-        nB, N, C = x.shape
-        h = self.num_heads
-        hd = C // h
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(nB, N, 3, h, hd), 3, axis=2)
-        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))  # (nB,h,N,hd)
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn / jnp.sqrt(hd).astype(attn.dtype)
-
-        # relative position bias table, indexed by a static relative index map
+    def _rel_bias(self, h):
         w = self.window
         table = self.param(
             "rel_bias", nn.initializers.normal(0.02), ((2 * w - 1) ** 2, h)
@@ -67,7 +60,41 @@ class WindowAttention(nn.Module):
         coords = coords.reshape(2, -1)
         rel = coords[:, :, None] - coords[:, None, :]
         rel = (rel[0] + w - 1) * (2 * w - 1) + (rel[1] + w - 1)  # (N, N) static
-        bias = table[jnp.asarray(rel)]  # (N, N, h)
+        return table[jnp.asarray(rel)]  # (N, N, h)
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None):
+        """x: (nB, w*w, C); mask: (nW, w*w, w*w) additive or None."""
+        nB, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        if self.fused:
+            from skinjax.models.backbones.davit import DenseParams
+            from skinjax.ops.pallas.window_attention import window_attention
+
+            dt = self.dtype or x.dtype
+            wqkv, bqkv = DenseParams(3 * C, name="qkv")(C)
+            wproj, bproj = DenseParams(C, name="proj")(C)
+            bias = self._rel_bias(h).transpose(2, 0, 1).astype(jnp.float32)
+            m = mask.astype(jnp.float32) if mask is not None else None
+            return window_attention(
+                x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), bias, m, h,
+            )
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        # minor-axis slices, not reshape(…,3,h,hd)+split+transpose — the 5-D
+        # relayout measured ~6 ms/step of copies on the v5e (timm unit order
+        # is [q|k|v][h][hd], so [..., :C] IS q)
+        q = qkv[..., :C].reshape(nB, N, h, hd)
+        k = qkv[..., C:2 * C].reshape(nB, N, h, hd)
+        v = qkv[..., 2 * C:].reshape(nB, N, h, hd)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn / jnp.sqrt(hd).astype(attn.dtype)
+
+        # relative position bias table, indexed by a static relative index map
+        bias = self._rel_bias(h)  # (N, N, h)
         attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
 
         if mask is not None:
@@ -77,7 +104,7 @@ class WindowAttention(nn.Module):
             )
             attn = attn.reshape(nB, h, N, N)
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(nB, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -114,6 +141,7 @@ class SwinBlock(nn.Module):
     window: int = 7
     shift: int = 0
     dtype: Optional[jnp.dtype] = None
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -128,7 +156,8 @@ class SwinBlock(nn.Module):
             mask = None
         y = window_partition(y, self.window)
         y = WindowAttention(
-            self.dim, self.num_heads, self.window, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, self.window, dtype=self.dtype,
+            fused=self.fused_attn, name="attn",
         )(y, mask)
         y = window_reverse(y, self.window, H, W)
         if shift > 0:
@@ -163,6 +192,9 @@ class Swin(nn.Module):
     heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 7
     dtype: Optional[jnp.dtype] = None
+    # Pallas fused window attention (ops/pallas/window_attention.py);
+    # default from SKINJAX_WINATTN=pallas (read at import time)
+    fused_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -176,6 +208,7 @@ class Swin(nn.Module):
                 shift = self.window // 2 if bi % 2 == 1 else 0
                 x = SwinBlock(
                     dim, h, self.window, shift, dtype=self.dtype,
+                    fused_attn=self.fused_attn,
                     name=f"stage{si}_block{bi}",
                 )(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)

@@ -1,0 +1,419 @@
+"""Fused windowed-attention Pallas kernel (Swin / DaViT spatial blocks).
+
+The XLA lowering of window attention materializes, per block, the qkv tensor
+in a 5-D (nB, N, 3, h, hd) layout (relayout copies measured at ~6 ms/step for
+davit_tiny B=64 on v5e), the f32 (nB, h, N, N) score tensor, its softmax, and
+the head-merge transpose — 6+ HBM round trips of window-local data. This
+kernel runs the whole chain — qkv projection, per-head scores (+ optional
+relative-position bias and shifted-window mask), softmax, attention·V,
+head merge, output projection — VMEM-resident per block of WINB windows:
+HBM sees one read of x and one write of y (plus the weights).
+
+Backward is flash-style but SPLIT: the projection matmuls (qkv recompute,
+dwqkv/dwproj/dx) run as plain XLA MXU matmuls, and only the attention core
+(scores -> softmax -> dq/dk/dv, recomputed per block, never touching HBM
+with an (nB, h, N, N) tensor) runs as a Pallas kernel gridded over
+(head-groups, window-blocks). The earlier design that unrolled all heads
+inside one backward kernel crashed the v5e Mosaic compiler for h >= 6
+(~6 dots x h in one kernel); the core kernel has a constant op count.
+
+Matches the einsum reference in ``window_attention_reference`` (used by the
+parity tests); the module integration is ``davit.DaViTWindowAttention`` /
+``transformer_zoo.WindowAttention`` with ``SKINJAX_WINATTN=pallas``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
+
+
+def _pick_winb(nB: int, n_win: int, per_window_bytes: int) -> int:
+    """Windows per grid step: sized so the block's VMEM footprint stays
+    under budget (the v5e scoped-vmem limit is 16M — exceeding it kills the
+    compile, observed as remote-compile-helper exit 1), a multiple of n_win
+    (the j-th window in every block uses mask[j % n_win]), a divisor of nB,
+    and ≤ 32 (larger blocks measured no faster)."""
+    target = min(32, max(1, _VMEM_BUDGET // max(per_window_bytes, 1)))
+    w = n_win
+    while w * 2 <= target and nB % (w * 2) == 0:
+        w *= 2
+    while nB % w != 0 and w > 1:  # safety: must divide nB
+        w //= 2
+    return max(1, w)
+
+
+def _fwd_window_bytes(Np: int, C: int, itemsize: int) -> int:
+    """Per-window VMEM estimate for the forward kernel: x/y/of blocks and
+    the cast qkv in the input dtype, the f32 qkv matmul output and per-head
+    outs, and one f32 score/prob pair."""
+    return Np * (6 * C * itemsize + 12 * C + 4 * C + 8 * Np)
+
+
+def _bwd_window_bytes(Np: int, CG: int, itemsize: int) -> int:
+    """Per-window VMEM estimate for the backward core: 7 channel-group
+    blocks (q/k/v/do/dq/dk/dv) plus f32 s/p/dp/ds transients."""
+    return Np * (7 * CG * itemsize + 8 * CG + 16 * Np)
+
+
+# ---------------------------------------------------------------------------
+# reference (pure XLA) — also the source of truth for tests
+# ---------------------------------------------------------------------------
+
+def window_attention_reference(x, wqkv, bqkv, wproj, bproj, num_heads,
+                               bias=None, mask=None):
+    """x: (nB, N, C); bias: (h, N, N) additive; mask: (nW, N, N) additive."""
+    nB, N, C = x.shape
+    h = num_heads
+    hd = C // h
+    qkv = x @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
+    q = qkv[..., :C].reshape(nB, N, h, hd)
+    k = qkv[..., C:2 * C].reshape(nB, N, h, hd)
+    v = qkv[..., 2 * C:].reshape(nB, N, h, hd)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
+                      preferred_element_type=jnp.float32)
+    if bias is not None:
+        attn = attn + bias[None].astype(attn.dtype)
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(nB // nW, nW, h, N, N) + mask[None, :, None].astype(
+            attn.dtype)
+        attn = attn.reshape(nB, h, N, N)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(nB, N, C)
+    return out @ wproj.astype(x.dtype) + bproj.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+                mask_ref, y_ref, of_ref, *, h: int, n_win: int,
+                has_bias: bool, has_mask: bool, n_real: int):
+    WINB, N, C = x_ref.shape
+    hd = C // h
+    scale = hd ** -0.5
+    # keys beyond the real window length are padding: force -inf scores
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    keypad = jnp.where(col < n_real, 0.0, -1e9).astype(jnp.float32)
+    xf = x_ref[:].reshape(WINB * N, C)
+    qkv = (
+        jnp.dot(xf, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype)
+    qkv = qkv.reshape(WINB, N, 3 * C)
+
+    outs = []
+    for hi in range(h):
+        q = qkv[..., hi * hd:(hi + 1) * hd]
+        k = qkv[..., C + hi * hd:C + (hi + 1) * hd]
+        v = qkv[..., 2 * C + hi * hd:2 * C + (hi + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (WINB, N, N)
+        s = s + keypad[None]
+        if has_bias:
+            s = s + bias_ref[hi].astype(jnp.float32)[None]
+        if has_mask:
+            m = mask_ref[:].astype(jnp.float32)  # (n_win, N, N)
+            reps = WINB // n_win
+            if reps > 1:
+                m = jnp.concatenate([m] * reps, axis=0)
+            s = s + m
+        p = jax.nn.softmax(s, axis=-1).astype(x_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # (WINB, N, hd)
+
+    of = jnp.concatenate(outs, axis=-1).astype(x_ref.dtype).reshape(
+        WINB * N, C)
+    of_ref[:] = of.reshape(WINB, N, C)  # residual for the split backward
+    y = (
+        jnp.dot(of, wproj_ref[:], preferred_element_type=jnp.float32)
+        + bproj_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype)
+    y_ref[:] = y.reshape(WINB, N, C)
+
+
+def _pad_n(t, Np, axes):
+    """Zero-pad the given axes of t up to length Np."""
+    pads = [(0, 0)] * t.ndim
+    for a in axes:
+        pads[a] = (0, Np - t.shape[a])
+    return jnp.pad(t, pads) if any(p != (0, 0) for p in pads) else t
+
+
+def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int):
+    """Returns (y, of) — of is the pre-projection attention output, saved as
+    the residual that lets the backward skip recomputing the full forward."""
+    nB, N, C = x.shape
+    has_bias = bias is not None
+    has_mask = mask is not None
+    n_win = mask.shape[0] if has_mask else 1
+    # Mosaic can only shape-cast across sublane-aligned dims: pad the window
+    # length to a multiple of 16 (padding keys are masked to -inf in-kernel)
+    Np = -(-N // 16) * 16
+    WINB = _pick_winb(nB, n_win, _fwd_window_bytes(Np, C, x.dtype.itemsize))
+    grid = (nB // WINB,)
+    n_real, N_in = N, Np
+    x_in = _pad_n(x, Np, (1,))
+    bias_in = (_pad_n(bias, Np, (1, 2)) if has_bias
+               else jnp.zeros((1, 16, 16), jnp.float32))
+    mask_in = (_pad_n(mask, Np, (1, 2)) if has_mask
+               else jnp.zeros((1, 16, 16), jnp.float32))
+
+    kernel = functools.partial(
+        _fwd_kernel, h=num_heads, n_win=n_win,
+        has_bias=has_bias, has_mask=has_mask, n_real=n_real,
+    )
+    rep = lambda i: (0, 0)  # weights: same block every step
+    rep3 = lambda i: (0, 0, 0)
+    blk = pl.BlockSpec((WINB, N_in, C), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    y, of = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            blk,
+            pl.BlockSpec((C, 3 * C), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_in.shape, rep3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(mask_in.shape, rep3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk, blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((nB, N_in, C), x.dtype),
+            jax.ShapeDtypeStruct((nB, N_in, C), x.dtype),
+        ],
+        interpret=_interpret(),
+    )(x_in, wqkv, bqkv, wproj, bproj, bias_in, mask_in)
+    return y[:, :N, :], of[:, :N, :]
+
+
+# ---------------------------------------------------------------------------
+# backward kernel — recompute qkv/softmax, emit dx + f32 weight/bias grads
+# ---------------------------------------------------------------------------
+
+def _heads_per_group(h: int, hd: int) -> int:
+    """Smallest divisor of h whose channel-group width is lane-aligned
+    (Mosaic block last dims must be 128-divisible or span the full array);
+    falls back to all heads (full-C blocks are always legal)."""
+    for g in range(1, h + 1):
+        if h % g == 0 and (g * hd) % 128 == 0:
+            return g
+    return h
+
+
+def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
+                     dq_ref, dk_ref, dv_ref, dbias_ref, *, hg: int,
+                     n_win: int, has_bias: bool, has_mask: bool,
+                     n_real: int, scale: float):
+    """Attention-core backward for one (head-group, window-block) grid cell:
+    recompute scores/softmax, emit dq/dk/dv (+dbias accumulated over the
+    inner window-block grid dim)."""
+    WINB, N, CG = q_ref.shape
+    hd = CG // hg
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    keypad = jnp.where(col < n_real, 0.0, -1e9).astype(jnp.float32)
+    i = pl.program_id(1)  # window-block (inner) — dbias accumulates over it
+
+    if has_bias:
+        @pl.when(i == 0)
+        def _init():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    if has_mask:
+        m = mask_ref[:].astype(jnp.float32)
+        reps = WINB // n_win
+        if reps > 1:
+            m = jnp.concatenate([m] * reps, axis=0)
+
+    for hi in range(hg):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        q = q_ref[..., sl]
+        k = k_ref[..., sl]
+        v = v_ref[..., sl]
+        do_h = do_ref[..., sl]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + keypad[None]
+        if has_bias:
+            s = s + bias_ref[hi].astype(jnp.float32)[None]
+        if has_mask:
+            s = s + m
+        p = jax.nn.softmax(s, axis=-1)  # f32 for exact softmax bwd
+        pb = p.astype(q_ref.dtype)
+        # dv = p^T @ do_h
+        dv_ref[..., sl] = jax.lax.dot_general(
+            pb, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        # dp = do_h @ v^T
+        dp = jax.lax.dot_general(
+            do_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+        if has_bias:
+            dbias_ref[hi] += jnp.sum(ds, axis=0)
+        dsb = ds.astype(q_ref.dtype)
+        dq_ref[..., sl] = (jax.lax.dot_general(
+            dsb, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[..., sl] = (jax.lax.dot_general(
+            dsb, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype)
+
+
+def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
+              has_bias: bool, has_mask: bool, n_win: int):
+    """q/k/v/do: (nB, N, C) head-major channel layout. Returns
+    (dq, dk, dv, dbias) with dq/dk/dv in q.dtype and dbias f32 (h, N, N)."""
+    nB, N, C = q.shape
+    hd = C // num_heads
+    hg = _heads_per_group(num_heads, hd)
+    n_groups = num_heads // hg
+    Np = -(-N // 16) * 16
+    WINB = _pick_winb(
+        nB, n_win, _bwd_window_bytes(Np, hg * hd, q.dtype.itemsize))
+    n_real = N
+    q, k, v, do = (_pad_n(t, Np, (1,)) for t in (q, k, v, do))
+    if has_bias:
+        bias_in = _pad_n(bias_in, Np, (1, 2))
+    else:
+        bias_in = jnp.zeros((n_groups * hg, 16, 16), jnp.float32)
+    if has_mask:
+        mask_in = _pad_n(mask_in, Np, (1, 2))
+    else:
+        mask_in = jnp.zeros((1, 16, 16), jnp.float32)
+
+    kernel = functools.partial(
+        _bwd_core_kernel, hg=hg, n_win=n_win,
+        has_bias=has_bias, has_mask=has_mask, n_real=n_real,
+        scale=hd ** -0.5,
+    )
+    # grid: head-group OUTER, window-block INNER (dbias blocks are revisited
+    # consecutively across the inner dim, as Mosaic requires)
+    grid = (n_groups, nB // WINB)
+    CG = hg * hd
+    blk = pl.BlockSpec((WINB, Np, CG), lambda g, i: (i, 0, g),
+                       memory_space=pltpu.VMEM)
+    bias_blk = pl.BlockSpec(
+        (hg,) + bias_in.shape[1:], lambda g, i: (g, 0, 0),
+        memory_space=pltpu.VMEM)
+    mask_blk = pl.BlockSpec(mask_in.shape, lambda g, i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk, blk, blk, blk, bias_blk, mask_blk],
+        out_specs=[blk, blk, blk, bias_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
+            jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
+            jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
+            jax.ShapeDtypeStruct(bias_in.shape, jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, do, bias_in, mask_in)
+    return (dq[:, :N, :], dk[:, :N, :], dv[:, :N, :],
+            dbias[:, :N, :N] if has_bias else None)
+
+
+def _bwd_call(x, wqkv, bqkv, wproj, bias_in, mask_in, of, dy, *,
+              num_heads: int, has_bias: bool, has_mask: bool, n_win: int):
+    """Split backward: XLA matmuls for projections/weight grads, Pallas for
+    the attention core. All tensors unpadded (nB, N, C)."""
+    nB, N, C = x.shape
+    f32 = jnp.float32
+    xf = x.reshape(nB * N, C)
+    dyf = dy.reshape(nB * N, C)
+    off = of.reshape(nB * N, C)
+
+    # output projection grads (plain MXU matmuls)
+    dwproj = jnp.dot(off.T, dyf, preferred_element_type=f32)
+    dbproj = jnp.sum(dyf.astype(f32), axis=0)
+    do = jnp.dot(dyf, wproj.astype(dy.dtype).T,
+                 preferred_element_type=f32).astype(dy.dtype).reshape(
+        nB, N, C)
+
+    # recompute qkv (one MXU matmul), head-major channel slices
+    qkv = (jnp.dot(xf, wqkv.astype(x.dtype), preferred_element_type=f32)
+           + bqkv.astype(f32)).astype(x.dtype).reshape(nB, N, 3 * C)
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+
+    dq, dk, dv, dbias = _bwd_core(
+        q, k, v, do, bias_in, mask_in, num_heads=num_heads,
+        has_bias=has_bias, has_mask=has_mask, n_win=n_win,
+    )
+
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1).reshape(nB * N, 3 * C)
+    dwqkv = jnp.dot(xf.T, dqkv, preferred_element_type=f32)
+    dbqkv = jnp.sum(dqkv.astype(f32), axis=0)
+    dx = jnp.dot(dqkv, wqkv.astype(dqkv.dtype).T,
+                 preferred_element_type=f32).astype(x.dtype).reshape(
+        nB, N, C)
+    return dx, dwqkv, dbqkv, dwproj, dbproj, dbias
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp public entry
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def window_attention(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads):
+    """Fused window MHA. x (nB, N, C); bias (h, N, N) or None;
+    mask (nW, N, N) or None. Differentiable in x/weights/bias."""
+    y, _ = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads=num_heads)
+    return y
+
+
+def _wa_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads):
+    y, of = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                 num_heads=num_heads)
+    return y, (x, wqkv, bqkv, wproj, bproj, bias, mask, of)
+
+
+def _wa_bwd(num_heads, res, dy):
+    x, wqkv, bqkv, wproj, bproj, bias, mask, of = res
+    has_bias = bias is not None
+    has_mask = mask is not None
+    n_win = mask.shape[0] if has_mask else 1
+    dx, dwqkv, dbqkv, dwproj, dbproj, dbias = _bwd_call(
+        x, wqkv, bqkv, wproj, bias, mask, of, dy,
+        num_heads=num_heads, has_bias=has_bias, has_mask=has_mask,
+        n_win=n_win,
+    )
+    return (
+        dx,
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(bqkv.dtype),
+        dwproj.astype(wproj.dtype),
+        dbproj.astype(bproj.dtype),
+        dbias.astype(bias.dtype) if has_bias else None,
+        None,
+    )
+
+
+window_attention.defvjp(_wa_fwd, _wa_bwd)
