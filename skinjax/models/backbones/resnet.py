@@ -13,11 +13,58 @@ replaces torch forward hooks.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+# SKINJAX_BN_SUBSAMPLE=<s>: compute BN batch statistics over a spatial
+# stride-s subsample in training. The forward stat pass is the only part of
+# BN whose HBM cost is removable (measured 8.7 ms of the 57 ms flagship
+# step by running stats-free; the backward γ/β reductions persist either
+# way — docs/DESIGN.md §5). Stats over B·H·W/s² ≥ 50k samples/channel are
+# statistically equivalent for convergence; normalize math, γ/β grads and
+# running-stat EMA stay exact w.r.t. the (subsampled) statistics. Opt-in,
+# read at import time; 0/unset = exact full-batch stats.
+_BN_SUBSAMPLE = int(os.environ.get("SKINJAX_BN_SUBSAMPLE", "0") or 0)
+
+
+class SubsampledStatsBatchNorm(nn.Module):
+    """nn.BatchNorm-compatible (same params/batch_stats tree) with training
+    statistics computed over ``x[:, ::s, ::s, :]``."""
+
+    stride: int = 2
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(C, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(C, jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xs = x[:, ::self.stride, ::self.stride, :].astype(jnp.float32)
+            axes = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xs, axes)
+            var = jnp.mean(xs * xs, axes) - mean * mean  # fast variance
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        dt = self.dtype or x.dtype
+        inv = (scale / jnp.sqrt(var + self.epsilon)).astype(dt)
+        return x * inv + (bias - mean * scale
+                          / jnp.sqrt(var + self.epsilon)).astype(dt)
 
 
 class ConvBN(nn.Module):
@@ -37,6 +84,15 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        if _BN_SUBSAMPLE > 1:
+            return SubsampledStatsBatchNorm(
+                stride=_BN_SUBSAMPLE,
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

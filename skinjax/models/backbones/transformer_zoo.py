@@ -192,9 +192,12 @@ class Swin(nn.Module):
     heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 7
     dtype: Optional[jnp.dtype] = None
-    # Pallas fused window attention (ops/pallas/window_attention.py);
-    # default from SKINJAX_WINATTN=pallas (read at import time)
-    fused_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
+    # Pallas fused window attention (ops/pallas/window_attention.py).
+    # Explicit opt-in only — measured SLOWER than XLA for Swin (rel-pos bias
+    # + 64 shifted masks add f32 VMEM traffic the XLA fusion handles better:
+    # 717 vs 635 img/s at B=64; docs/DESIGN.md §5b), unlike DaViT where the
+    # bias-free kernel wins and SKINJAX_WINATTN=pallas is honored.
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):

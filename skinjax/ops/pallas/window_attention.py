@@ -43,16 +43,26 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
 def _pick_winb(nB: int, n_win: int, per_window_bytes: int) -> int:
     """Windows per grid step: sized so the block's VMEM footprint stays
     under budget (the v5e scoped-vmem limit is 16M — exceeding it kills the
-    compile, observed as remote-compile-helper exit 1), a multiple of n_win
-    (the j-th window in every block uses mask[j % n_win]), a divisor of nB,
-    and ≤ 32 (larger blocks measured no faster)."""
+    compile, observed as remote-compile-helper exit 1), a divisor of nB,
+    ≤ 32 (larger blocks measured no faster), and aligned with the mask
+    period: either a multiple of n_win (block tiles the whole mask) or a
+    divisor of it (the block maps to a contiguous mask slice selected by
+    grid index — Swin stage 1 has n_win=64 distinct shifted masks, far over
+    the VMEM-safe block size)."""
     target = min(32, max(1, _VMEM_BUDGET // max(per_window_bytes, 1)))
-    w = n_win
-    while w * 2 <= target and nB % (w * 2) == 0:
-        w *= 2
-    while nB % w != 0 and w > 1:  # safety: must divide nB
-        w //= 2
-    return max(1, w)
+    if n_win <= target:
+        w = n_win
+        while w * 2 <= target and nB % (w * 2) == 0:
+            w *= 2
+        while nB % w != 0 and w > 1:  # safety: must divide nB
+            w //= 2
+        return max(1, w)
+    # n_win over budget: largest divisor of n_win within target (divides nB
+    # too, since n_win | nB by construction of the window batch)
+    for w in range(target, 0, -1):
+        if n_win % w == 0 and nB % w == 0:
+            return w
+    return 1
 
 
 def _fwd_window_bytes(Np: int, C: int, itemsize: int) -> int:
@@ -129,8 +139,8 @@ def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
         if has_bias:
             s = s + bias_ref[hi].astype(jnp.float32)[None]
         if has_mask:
-            m = mask_ref[:].astype(jnp.float32)  # (n_win, N, N)
-            reps = WINB // n_win
+            m = mask_ref[:].astype(jnp.float32)  # (min(n_win, WINB), N, N)
+            reps = WINB // m.shape[0]
             if reps > 1:
                 m = jnp.concatenate([m] * reps, axis=0)
             s = s + m
@@ -195,7 +205,13 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int):
             pl.BlockSpec((C, C), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec(bias_in.shape, rep3, memory_space=pltpu.VMEM),
-            pl.BlockSpec(mask_in.shape, rep3, memory_space=pltpu.VMEM),
+            # WINB < n_win: each block sees the contiguous mask slice for
+            # its windows (global window j uses mask[j % n_win])
+            (pl.BlockSpec((WINB,) + mask_in.shape[1:],
+                          lambda i: (i % (n_win // WINB), 0, 0),
+                          memory_space=pltpu.VMEM)
+             if has_mask and WINB < n_win else
+             pl.BlockSpec(mask_in.shape, rep3, memory_space=pltpu.VMEM)),
         ],
         out_specs=[blk, blk],
         out_shape=[
@@ -240,8 +256,8 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
             dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     if has_mask:
-        m = mask_ref[:].astype(jnp.float32)
-        reps = WINB // n_win
+        m = mask_ref[:].astype(jnp.float32)  # (min(n_win, WINB), N, N)
+        reps = WINB // m.shape[0]
         if reps > 1:
             m = jnp.concatenate([m] * reps, axis=0)
 
@@ -322,8 +338,14 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
     bias_blk = pl.BlockSpec(
         (hg,) + bias_in.shape[1:], lambda g, i: (g, 0, 0),
         memory_space=pltpu.VMEM)
-    mask_blk = pl.BlockSpec(mask_in.shape, lambda g, i: (0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if has_mask and WINB < n_win:
+        mask_blk = pl.BlockSpec(
+            (WINB,) + mask_in.shape[1:],
+            lambda g, i: (i % (n_win // WINB), 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        mask_blk = pl.BlockSpec(mask_in.shape, lambda g, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
     dq, dk, dv, dbias = pl.pallas_call(
         kernel,
         grid=grid,

@@ -106,3 +106,27 @@ def test_swin_module_fused_matches_unfused():
         lambda p: jnp.sum(jnp.sin(fused.apply(p, x, mask)))
     )(params)["params"]["rel_bias"]
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_mask_period_exceeds_block():
+    """Swin stage-1 regime: n_win (64 distinct shifted masks) > the
+    VMEM-safe block size, so blocks map to mask slices by grid index."""
+    from skinjax.ops.pallas import window_attention as wa
+
+    x, wqkv, bqkv, wproj, bproj, _, m = _setup(nB=128, N=49, C=96,
+                                               mask_nw=64, seed=3)
+    winb = wa._pick_winb(128, 64, wa._fwd_window_bytes(64, 96, 4))
+    assert winb < 64  # the slice path is actually exercised
+    got = window_attention(x, wqkv, bqkv, wproj, bproj, None, m, 3)
+    want = window_attention_reference(x, wqkv, bqkv, wproj, bproj, 3, None, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    # gradients through the slice path
+    gk = jax.grad(lambda a: jnp.sum(jnp.sin(
+        window_attention(a, wqkv, bqkv, wproj, bproj, None, m, 3))))(x)
+    gr = jax.grad(lambda a: jnp.sum(jnp.sin(
+        window_attention_reference(a, wqkv, bqkv, wproj, bproj, 3,
+                                   None, m))))(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               atol=5e-4, rtol=5e-4)
