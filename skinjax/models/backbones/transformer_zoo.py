@@ -12,7 +12,6 @@ into the attention einsums); window attention runs as one batched MHA over
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 

@@ -25,7 +25,6 @@ parity tests); the module integration is ``davit.DaViTWindowAttention`` /
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
