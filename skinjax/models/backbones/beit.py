@@ -115,10 +115,34 @@ class BeitBlock(nn.Module):
         return x + g2.astype(y.dtype) * y
 
 
+class _BeitScanBody(nn.Module):
+    """One BeitBlock in (carry, _) -> (carry, None) form for ``nn.scan``."""
+
+    dim: int
+    num_heads: int
+    grid: Tuple[int, int]
+    layerscale_init: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = BeitBlock(self.dim, self.num_heads, self.grid,
+                      layerscale_init=self.layerscale_init,
+                      dtype=self.dtype, name="block")(x)
+        return x, None
+
+
 class Beit(nn.Module):
     """Returns fc_norm(mean over patch tokens) — the timm
     ``reset_classifier(0)`` output, shape (B, dim). ``tokens=True`` returns
-    the full (B, N+1, dim) sequence (pre fc_norm) for sequence fusion."""
+    the full (B, N+1, dim) sequence (pre fc_norm) for sequence fusion.
+
+    ``scan_blocks=True`` runs the 24 identical blocks under ``nn.scan`` —
+    the block body traces/compiles ONCE instead of ``depth`` times (the
+    compile-time lever for beitv2_large sweeps; same math). Params live
+    stacked under ``blocks/block``; convert importer output with
+    ``skinjax.models.backbones.vit.stack_block_params`` (the block{i} naming
+    is shared)."""
 
     dim: int = 1024
     depth: int = 24
@@ -126,6 +150,7 @@ class Beit(nn.Module):
     patch: int = 16
     layerscale_init: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, tokens: bool = False):
@@ -138,10 +163,23 @@ class Beit(nn.Module):
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, self.dim)).astype(x.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], axis=1)
-        for i in range(self.depth):
-            x = BeitBlock(self.dim, self.num_heads, grid,
-                          layerscale_init=self.layerscale_init,
-                          dtype=self.dtype, name=f"block{i}")(x)
+        if self.scan_blocks:
+            body = nn.scan(
+                _BeitScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+            )(
+                self.dim, self.num_heads, grid,
+                layerscale_init=self.layerscale_init, dtype=self.dtype,
+                name="blocks",
+            )
+            x, _ = body(x, None)
+        else:
+            for i in range(self.depth):
+                x = BeitBlock(self.dim, self.num_heads, grid,
+                              layerscale_init=self.layerscale_init,
+                              dtype=self.dtype, name=f"block{i}")(x)
         if tokens:
             return x
         pooled = x[:, 1:].mean(axis=1)

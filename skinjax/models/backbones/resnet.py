@@ -30,6 +30,55 @@ from flax import linen as nn
 # read at import time; 0/unset = exact full-batch stats.
 _BN_SUBSAMPLE = int(os.environ.get("SKINJAX_BN_SUBSAMPLE", "0") or 0)
 
+# SKINJAX_S2D_STEM=1: run the 7×7/s2 stem as an exact space-to-depth
+# rewrite (pad → 2× space-to-depth → 4×4/s1 conv over 12 channels). The
+# 3-channel stride-2 stem under-fills the MXU's input lanes; the rewrite
+# quadruples input channels and removes the strided overlap at identical
+# math (the kernel param keeps its (7,7,3,C) torchvision shape — the
+# transform happens at trace time, so importers/checkpoints are unaffected).
+_S2D_STEM = os.environ.get("SKINJAX_S2D_STEM", "") == "1"
+
+
+class _SpaceToDepthConv7x7s2(nn.Module):
+    """Exact rewrite of Conv(7×7, stride 2, pad 3, no bias) for even H, W:
+
+    ``out(i,j) = Σ_{a,b<7} W[a,b]·x_pad[2i+a, 2j+b]`` regroups, with
+    ``a = 2u+p``/``b = 2v+q`` (phases p, q ∈ {0,1}), into a VALID 4×4
+    stride-1 conv over the 2×-space-to-depth input whose channel index is
+    (p, q, c) — the zero-padded 8th kernel row/col contributes nothing.
+    Param tree matches nn.Conv (``kernel``, same shape/init), so this module
+    substitutes under the same name."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        B, H, W, C = x.shape
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, C, self.features)
+        )
+        dt = self.dtype or x.dtype
+        w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        w4 = (
+            w8.reshape(4, 2, 4, 2, C, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * C, self.features)
+        )
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        Hp, Wp = H + 6, W + 6
+        xs = (
+            xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, Hp // 2, Wp // 2, 4 * C)
+        )
+        return jax.lax.conv_general_dilated(
+            xs.astype(dt), w4.astype(dt), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
 
 class SubsampledStatsBatchNorm(nn.Module):
     """nn.BatchNorm-compatible (same params/batch_stats tree) with training
@@ -75,15 +124,26 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (
+            _S2D_STEM
+            and self.kernel == 7
+            and self.stride == 2
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            x = _SpaceToDepthConv7x7s2(
+                self.features, dtype=self.dtype, name="conv"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if _BN_SUBSAMPLE > 1:
             return SubsampledStatsBatchNorm(
                 stride=_BN_SUBSAMPLE,

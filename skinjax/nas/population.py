@@ -1,0 +1,307 @@
+"""Vmapped population training: K NAS candidates per compiled step.
+
+The reference NAS loop trains one candidate per controller step
+(nas/optimization_train_process_pad_20.py:308-337) — on TPU that leaves the
+chip idle between small-model steps and pays one compile per architecture.
+Here candidates are bucketed by shape-envelope keys, each bucket's
+:class:`~skinjax.nas.supernet.SuperNet` is compiled ONCE, and ``jax.vmap``
+over (params, masks) trains the whole bucket simultaneously: the augmented
+batch is computed once and shared, and the MXU sees K× the work per
+dispatch. Candidate semantics are preserved (see supernet.py's exactness
+notes); with ``exact_init=True`` each candidate even starts from the
+initialization its standalone DynamicCNN would have drawn.
+
+Reward semantics vs the sequential path: the sequential trainer early-stops
+on val_bacc with patience and rewards the best epoch; here every candidate
+runs the full ``num_epochs`` (the bucket stops early only when *all*
+candidates have exhausted patience) and the reward is the best per-candidate
+val balanced accuracy over epochs — the same value unless a candidate would
+have improved after its individual stop point (then the population reward is
+the better one).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from skinjax.data.augment import augment_batch
+from skinjax.data.pipeline import prefetch_batches
+from skinjax.data.sampling import compute_class_weights, epoch_batches
+from skinjax.nas.dynamic_model import make_dynamic_model
+from skinjax.nas.supernet import (
+    SuperNet,
+    candidate_masks,
+    embed_params,
+    envelope_of,
+)
+from skinjax.train.loop import TrainConfig
+from skinjax.train.losses import weighted_loss
+from skinjax.train.metrics import classification_metrics
+from skinjax.train.optimizer import make_optimizer
+
+DEFAULT_BUCKET_KEYS = ("use_pooling", "num_blocks", "kernel_size")
+
+
+@struct.dataclass
+class PopulationState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _bucket(configs: Sequence[Dict], keys: Sequence[str]):
+    buckets = defaultdict(list)
+    for i, c in enumerate(configs):
+        buckets[tuple(dict(c)[k] for k in keys)].append(i)
+    return list(buckets.values())
+
+
+class PopulationTrainer:
+    """Trains a list of candidate configs with vmapped supernet steps.
+
+    ``evaluate(configs)`` returns one reward (best val balanced accuracy)
+    per config, in order.
+    """
+
+    def __init__(
+        self,
+        train_source,
+        val_source,
+        num_classes: int,
+        config: Optional[TrainConfig] = None,
+        bucket_keys: Sequence[str] = DEFAULT_BUCKET_KEYS,
+        exact_init: bool = False,
+        seed: int = 42,
+        vocab_size: Optional[int] = None,
+    ):
+        self.train_source = train_source
+        self.val_source = val_source
+        self.num_classes = num_classes
+        self.cfg = config or TrainConfig(
+            num_epochs=10, early_stopping_patience=5,
+            early_stopping_metric="val_bacc",
+        )
+        self.bucket_keys = tuple(bucket_keys)
+        self.exact_init = exact_init
+        self.seed = seed
+        if vocab_size is None:
+            vocab_size = int(
+                train_source.batch(np.arange(1))["metadata"].shape[1]
+            )
+        self.vocab_size = vocab_size
+        self.class_weights = compute_class_weights(
+            train_source.labels, num_classes
+        )
+
+    # -- per-bucket machinery ------------------------------------------------
+
+    def _dtype(self):
+        return (
+            jnp.bfloat16 if self.cfg.image_dtype == "bfloat16" else jnp.float32
+        )
+
+    def _init_params(self, model, masks_list, configs, sample):
+        img1 = jnp.asarray(sample["image"][:1], jnp.float32)
+        md1 = jnp.asarray(sample["metadata"][:1])
+        if self.exact_init:
+            stacked = []
+            for i, (cfg, masks) in enumerate(zip(configs, masks_list)):
+                sup = model.init(
+                    jax.random.key(self.seed), img1, md1,
+                    jax.tree_util.tree_map(jnp.asarray, masks),
+                )["params"]
+                cand_model = make_dynamic_model(
+                    cfg, num_classes=self.num_classes,
+                    vocab_size=self.vocab_size,
+                )
+                cand = cand_model.init(
+                    jax.random.key(self.seed + i), img1, md1
+                )["params"]
+                stacked.append(embed_params(cand, sup, cfg, model.env))
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *stacked
+            )
+        rngs = jnp.stack([
+            jax.random.key_data(jax.random.key(self.seed + i))
+            for i in range(len(configs))
+        ])
+        masks = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *masks_list
+        )
+        init_one = lambda kd, m: model.init(
+            jax.random.wrap_key_data(kd), img1, md1, m
+        )["params"]
+        return jax.vmap(init_one)(rngs, masks)
+
+    def _train_bucket(self, configs: List[Dict]) -> List[float]:
+        cfg = self.cfg
+        env = envelope_of(configs)
+        model = SuperNet(
+            env, num_classes=self.num_classes, vocab_size=self.vocab_size
+        )
+        masks_list = [candidate_masks(c, env) for c in configs]
+        masks = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *masks_list
+        )
+        K = len(configs)
+
+        sample = self.train_source.batch(
+            np.arange(min(2, len(self.train_source)))
+        )
+        params = self._init_params(model, masks_list, configs, sample)
+        tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
+        state = PopulationState(
+            params=params,
+            opt_state=jax.vmap(tx.init)(params),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+        wloss = weighted_loss(cfg.loss, cfg.focal_gamma)
+        cw = jnp.asarray(self.class_weights)
+        dtype = self._dtype()
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def pop_step(state, image_u8, metadata, label, rng):
+            aug_rng, drop_rng = jax.random.split(
+                jax.random.fold_in(rng, state.step)
+            )
+            image = augment_batch(
+                image_u8, aug_rng, train=cfg.augment, out_dtype=dtype,
+                recipe=cfg.augment_recipe,
+            )
+
+            def one(params, opt_state, m, key):
+                def loss_of(p):
+                    logits = model.apply(
+                        {"params": p}, image, metadata, m, train=True,
+                        rngs={"dropout": key},
+                    )
+                    return wloss(logits.astype(jnp.float32), label, cw)
+
+                loss, grads = jax.value_and_grad(loss_of)(params)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), new_opt, loss
+
+            keys = jax.random.split(drop_rng, K)
+            new_params, new_opt, losses = jax.vmap(one)(
+                state.params, state.opt_state, masks, keys
+            )
+            return (
+                PopulationState(new_params, new_opt, state.step + 1),
+                losses,
+            )
+
+        @jax.jit
+        def pop_eval(params, image_u8, metadata):
+            image = augment_batch(
+                image_u8, jax.random.key(0), train=False, out_dtype=dtype
+            )
+            return jax.vmap(
+                lambda p, m: model.apply(
+                    {"params": p}, image, metadata, m
+                ).astype(jnp.float32)
+            )(params, masks)
+
+        rng = jax.random.fold_in(jax.random.key(cfg.seed), 1)
+        best = np.full(K, -np.inf)
+        since_improve = np.zeros(K, np.int32)
+        n_val = len(self.val_source)
+        for epoch in range(cfg.num_epochs):
+            batches = epoch_batches(
+                self.train_source.labels, self.num_classes, cfg.batch_size,
+                seed=cfg.seed, epoch=epoch, weighted=cfg.weighted_sampling,
+            )
+            for batch in prefetch_batches(self.train_source, batches):
+                state, _ = pop_step(
+                    state,
+                    jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["metadata"]),
+                    jnp.asarray(batch["label"]),
+                    rng,
+                )
+            # full val pass, all K candidates at once
+            probs = np.zeros((K, n_val, self.num_classes), np.float32)
+            n_batches = -(-n_val // cfg.batch_size)
+            for b in range(n_batches):
+                idx = np.arange(
+                    b * cfg.batch_size, (b + 1) * cfg.batch_size
+                ) % n_val
+                vb = self.val_source.batch(idx)
+                logits = pop_eval(
+                    state.params,
+                    jnp.asarray(vb["image"]),
+                    jnp.asarray(vb["metadata"]),
+                )
+                probs[:, idx] = np.asarray(
+                    jax.nn.softmax(logits, axis=-1), np.float32
+                )
+            labels = self.val_source.labels[:n_val]
+            improved = False
+            for ki in range(K):
+                m = classification_metrics(
+                    labels, probs[ki].argmax(-1), probs[ki], self.num_classes
+                )
+                bacc = float(m["balanced_accuracy"])
+                if bacc > best[ki] + 1e-12:
+                    best[ki] = bacc
+                    since_improve[ki] = 0
+                    improved = True
+                else:
+                    since_improve[ki] += 1
+            if not improved and (
+                since_improve >= cfg.early_stopping_patience
+            ).all():
+                break
+        return [float(b) for b in best]
+
+    def evaluate(self, configs: Sequence[Dict]) -> List[float]:
+        configs = [dict(c) for c in configs]
+        rewards = [0.0] * len(configs)
+        for idx_group in _bucket(configs, self.bucket_keys):
+            group = [configs[i] for i in idx_group]
+            try:
+                group_rewards = self._train_bucket(group)
+            except Exception as e:  # failed bucket scores 0.0 (reference parity)
+                print(f"[nas] population bucket failed "
+                      f"({type(e).__name__}: {e})")
+                group_rewards = [0.0] * len(group)
+            for i, r in zip(idx_group, group_rewards):
+                rewards[i] = r
+        return rewards
+
+
+def make_population_evaluator(
+    source,
+    num_classes: int,
+    train_cfg: Optional[TrainConfig] = None,
+    seed: int = 42,
+    exact_init: bool = False,
+    bucket_keys: Sequence[str] = DEFAULT_BUCKET_KEYS,
+) -> Callable[[Sequence[Dict]], List[float]]:
+    """80/20 split (as nas/optimization_train_process_pad_20.py:232-237) +
+    a PopulationTrainer over it; returns ``configs -> rewards``."""
+    from skinjax.data.splits import train_val_split
+    from skinjax.train.kfold import SubsetSource
+
+    labels = source.labels
+    train_idx, val_idx = train_val_split(labels, val_fraction=0.2, seed=seed)
+    trainer = PopulationTrainer(
+        SubsetSource(source, train_idx),
+        SubsetSource(source, val_idx),
+        num_classes,
+        config=train_cfg,
+        bucket_keys=bucket_keys,
+        exact_init=exact_init,
+        seed=seed,
+        vocab_size=int(source.features.shape[1]),
+    )
+    return trainer.evaluate

@@ -65,13 +65,38 @@ def run_nas(
     llm_model_name: Optional[str] = None,
     tracker=None,
     seed: int = 42,
+    population_size: int = 0,
+    memoize: bool = True,
 ) -> Tuple[Dict, float, List[Dict]]:
-    """Returns (best_config, best_reward, step_log); writes best_config.json."""
+    """Returns (best_config, best_reward, step_log); writes best_config.json.
+
+    ``population_size > 1`` (reinforce/random strategies) samples that many
+    candidates per outer iteration and trains each shape-bucket of them in
+    ONE vmapped supernet program (nas/population.py) — the TPU-idiomatic
+    across-candidate parallelism the reference's one-model-per-step loop
+    cannot express. ``memoize`` caches rewards by exact config: the trainer
+    is deterministic per (config, seed), so a re-sampled config (routine as
+    a REINFORCE controller converges) costs nothing instead of a full
+    training run — identical search semantics, the reference would retrain
+    (nas/optimization_train_process_pad_20.py:308-337).
+    """
     space = search_space or DEFAULT_SEARCH_SPACE
     train_cfg = train_cfg or TrainConfig(
         num_epochs=10, early_stopping_patience=5, early_stopping_metric="val_bacc",
     )
-    if evaluate_candidate is None:
+    evaluate_population: Optional[Callable] = None
+    if population_size > 1 and evaluate_candidate is None:
+        if strategy not in ("reinforce", "random"):
+            raise ValueError(
+                "population_size>1 supports strategies 'reinforce'/'random' "
+                "(BO/LLM proposals are sequential by construction)"
+            )
+        from skinjax.nas.population import make_population_evaluator
+
+        evaluate_population = make_population_evaluator(
+            source, num_classes, train_cfg=train_cfg, seed=seed
+        )
+    if evaluate_candidate is None and evaluate_population is None:
         evaluate_candidate = _default_trainer(source, num_classes, train_cfg, seed)
 
     rng = np.random.default_rng(seed)
@@ -91,42 +116,97 @@ def run_nas(
     best_cfg: Optional[Dict] = None
     best_reward = -float("inf")
     log: List[Dict] = []
+    # deterministic trainer + fixed seed => a re-sampled config re-earns the
+    # SAME reward, so caching is semantics-preserving (unlike the reference,
+    # which retrains converged controllers' repeats at full price)
+    memo: Dict[Tuple, float] = {}
+    cfg_key = lambda c: tuple(sorted((k, str(v)) for k, v in c.items()))
 
-    for step in range(search_steps):
-        if strategy == "reinforce":
-            config, indices = searcher.sample_config()
-        elif strategy == "bo":
-            config, indices = searcher.propose()
-        elif strategy == "llm":
-            config = searcher.propose()
-            indices = config_to_indices(config, space)
-        else:  # random
-            config = {k: v[int(rng.integers(len(v)))] for k, v in space.items()}
-            indices = config_to_indices(config, space)
+    step = 0
+    while step < search_steps:
+        group = (
+            min(population_size, search_steps - step)
+            if evaluate_population is not None
+            else 1
+        )
+        proposals: List[Tuple[Dict, Dict]] = []
+        for _ in range(group):
+            if strategy == "reinforce":
+                config, indices = searcher.sample_config()
+            elif strategy == "bo":
+                config, indices = searcher.propose()
+            elif strategy == "llm":
+                config = searcher.propose()
+                indices = config_to_indices(config, space)
+            else:  # random
+                config = {
+                    k: v[int(rng.integers(len(v)))] for k, v in space.items()
+                }
+                indices = config_to_indices(config, space)
+            proposals.append((config, indices))
 
-        try:
-            reward = evaluate_candidate(config)
-        except Exception as e:  # failed configs score 0.0 (reference parity)
-            print(f"[nas] step {step}: candidate failed ({type(e).__name__}: {e})")
-            reward = 0.0
-
-        if strategy == "reinforce":
-            stats = searcher.update(indices, reward)
-        elif strategy == "bo":
-            searcher.observe(indices, reward)
-            stats = {}
-        elif strategy == "llm":
-            searcher.observe(config, reward)
-            stats = {}
+        fresh = [
+            i for i, (c, _) in enumerate(proposals)
+            if not (memoize and cfg_key(c) in memo)
+        ]
+        # dedup fresh configs within the group (same key trains once)
+        fresh_unique: Dict[Tuple, int] = {}
+        for i in fresh:
+            fresh_unique.setdefault(cfg_key(proposals[i][0]), i)
+        rewards_by_key: Dict[Tuple, float] = {}
+        if evaluate_population is not None and fresh_unique:
+            group_rewards = evaluate_population(
+                [proposals[i][0] for i in fresh_unique.values()]
+            )
+            for key, r in zip(fresh_unique.keys(), group_rewards):
+                rewards_by_key[key] = r
         else:
-            stats = {}
+            for key, i in fresh_unique.items():
+                try:
+                    rewards_by_key[key] = evaluate_candidate(proposals[i][0])
+                except Exception as e:  # failed configs score 0.0
+                    print(f"[nas] step {step + i}: candidate failed "
+                          f"({type(e).__name__}: {e})")
+                    rewards_by_key[key] = 0.0
 
-        if reward > best_reward:
-            best_reward, best_cfg = reward, config
-        log.append({"step": step, "config": config, "reward": reward, **stats})
-        if tracker:
-            tracker.log_metric("reward", reward, step=step)
-            tracker.log_metric("best_reward", best_reward, step=step)
+        trained_now: set = set()
+        for config, indices in proposals:
+            key = cfg_key(config)
+            if key in rewards_by_key and key not in trained_now:
+                reward = rewards_by_key[key]
+                trained_now.add(key)
+                cached = False
+            else:  # memo hit, or a within-group duplicate of a trained key
+                reward = (
+                    memo[key]
+                    if memoize and key in memo
+                    else rewards_by_key[key]
+                )
+                cached = True
+            if memoize:
+                memo[key] = reward
+
+            if strategy == "reinforce":
+                stats = searcher.update(indices, reward)
+            elif strategy == "bo":
+                searcher.observe(indices, reward)
+                stats = {}
+            elif strategy == "llm":
+                searcher.observe(config, reward)
+                stats = {}
+            else:
+                stats = {}
+
+            if reward > best_reward:
+                best_reward, best_cfg = reward, config
+            entry = {"step": step, "config": config, "reward": reward, **stats}
+            if cached:
+                entry["cached"] = True
+            log.append(entry)
+            if tracker:
+                tracker.log_metric("reward", reward, step=step)
+                tracker.log_metric("best_reward", best_reward, step=step)
+            step += 1
 
     os.makedirs(results_dir, exist_ok=True)
     with open(os.path.join(results_dir, "best_config.json"), "w") as f:

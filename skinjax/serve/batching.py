@@ -34,8 +34,16 @@ class _Pending:
     __slots__ = ("image", "feats", "event", "probs", "error")
 
     def __init__(self, image: np.ndarray, feats: np.ndarray):
-        self.image = image  # (1, H, W, 3) normalized
-        self.feats = feats  # (1, F)
+        # accept unbatched (H, W, 3)/(F,) — a bare-rank request would
+        # otherwise produce an inscrutable shape error inside the jitted
+        # forward of whatever batch it lands in
+        self.image = image if image.ndim == 4 else image[None]
+        self.feats = feats if feats.ndim == 2 else feats[None]
+        if self.image.shape[0] != 1 or self.feats.shape[0] != 1:
+            raise ValueError(
+                "predict_probs_queued takes ONE request: image (1, H, W, 3) "
+                f"and feats (1, F); got {image.shape} / {feats.shape}"
+            )
         self.event = threading.Event()
         self.probs: Optional[np.ndarray] = None
         self.error: Optional[Exception] = None

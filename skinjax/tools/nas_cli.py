@@ -30,6 +30,13 @@ def main(argv=None):
                    choices=["val_bacc", "val_loss"],
                    help="val_loss reproduces the controller-val-loss variant")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--population", type=int, default=0,
+                   help="candidates per vmapped supernet program "
+                        "(reinforce/random; 0 = sequential like the "
+                        "reference)")
+    p.add_argument("--no-memoize", action="store_true",
+                   help="retrain repeated configs (reference behavior) "
+                        "instead of reusing their deterministic reward")
     p.add_argument("--retrain-best", action="store_true",
                    help="full k-fold retrain of best_config.json afterwards")
     args = p.parse_args(argv)
@@ -76,6 +83,7 @@ def main(argv=None):
             source, num_classes, strategy=args.strategy, search_steps=steps,
             train_cfg=train_cfg, results_dir=args.results_dir,
             llm_model_name=args.llm_model, tracker=tracker,
+            population_size=args.population, memoize=not args.no_memoize,
         )
     print(json.dumps({"best_config": best_cfg, "best_reward": best_reward},
                      default=str))

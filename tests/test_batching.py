@@ -115,3 +115,13 @@ def test_http_api_with_batching(batcher):
         assert len(out["probabilities"]) == 4
     finally:
         server.shutdown()
+
+
+def test_unbatched_request_rank_normalized(batcher):
+    """A bare (H, W, 3)/(F,) request is auto-batched instead of poisoning
+    the whole batch with a shape error."""
+    eng = batcher.engine
+    feat_dim = eng.featurizer.dim if eng.featurizer else 16
+    probs = batcher.predict_probs_queued(
+        np.zeros((32, 32, 3), np.float32), np.zeros(feat_dim, np.float32))
+    assert probs.shape[0] == 1

@@ -83,3 +83,25 @@ def test_training_converges_with_subsampled_stats():
         params, stats, opt, l = step(params, stats, opt)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.5, losses[::20]
+
+
+def test_space_to_depth_stem_exact():
+    """_SpaceToDepthConv7x7s2 == Conv(7x7, s2, pad 3) bit-for-bit math
+    (same kernel param tree, so checkpoints/importers are unaffected)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from skinjax.models.backbones.resnet import _SpaceToDepthConv7x7s2
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    ref = nn.Conv(16, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                  use_bias=False)
+    params = ref.init(jax.random.key(0), x)["params"]
+    want = ref.apply({"params": params}, x)
+    got = _SpaceToDepthConv7x7s2(16).apply({"params": params}, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -1,0 +1,206 @@
+"""Masked-supernet exactness + vmapped population NAS training.
+
+The supernet must reproduce DynamicCNN (the reference NAS search-space model,
+dynamicMultimodalmodel.py:6-219) EXACTLY for every candidate in the envelope:
+forward logits, and gradients on the candidate's live parameters — that is
+what licenses training K candidates in one vmapped program without changing
+search semantics.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from skinjax.data import synthetic_source
+from skinjax.nas import (
+    SuperNet,
+    candidate_masks,
+    embed_params,
+    envelope_of,
+    make_dynamic_model,
+    run_nas,
+)
+from skinjax.nas.population import PopulationTrainer
+from skinjax.train.kfold import SubsetSource
+from skinjax.train.loop import TrainConfig
+
+# the maximal config per pooling mode forces real masking in every envelope
+MAX_POOL = {
+    "num_blocks": 3, "initial_filters": 32, "kernel_size": 5,
+    "layers_per_block": 2, "use_pooling": True, "common_dim": 64,
+    "attention_mecanism": "gfcam", "num_layers_text_fc": 3,
+    "neurons_per_layer_size_of_text_fc": 64, "num_layers_fc_module": 2,
+    "neurons_per_layer_size_of_fc_module": 64,
+}
+
+CANDIDATES = [
+    {"num_blocks": 2, "initial_filters": 16, "kernel_size": 3,
+     "layers_per_block": 1, "use_pooling": True, "common_dim": 32,
+     "attention_mecanism": "concatenation", "num_layers_text_fc": 1,
+     "neurons_per_layer_size_of_text_fc": 32, "num_layers_fc_module": 1,
+     "neurons_per_layer_size_of_fc_module": 32},
+    {"num_blocks": 3, "initial_filters": 32, "kernel_size": 5,
+     "layers_per_block": 2, "use_pooling": True, "common_dim": 64,
+     "attention_mecanism": "crossattention", "num_layers_text_fc": 2,
+     "neurons_per_layer_size_of_text_fc": 64, "num_layers_fc_module": 2,
+     "neurons_per_layer_size_of_fc_module": 64},
+    {"num_blocks": 1, "initial_filters": 8, "kernel_size": 3,
+     "layers_per_block": 2, "use_pooling": True, "common_dim": 16,
+     "attention_mecanism": "metablock", "num_layers_text_fc": 1,
+     "neurons_per_layer_size_of_text_fc": 16, "num_layers_fc_module": 2,
+     "neurons_per_layer_size_of_fc_module": 32},
+    {"num_blocks": 2, "initial_filters": 16, "kernel_size": 3,
+     "layers_per_block": 1, "use_pooling": True, "common_dim": 64,
+     "attention_mecanism": "gfcam", "num_layers_text_fc": 3,
+     "neurons_per_layer_size_of_text_fc": 32, "num_layers_fc_module": 1,
+     "neurons_per_layer_size_of_fc_module": 64},
+]
+
+VOCAB, CLASSES = 11, 4
+
+
+def _data(batch=3, size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32)
+    md = jnp.asarray(rng.normal(size=(batch, VOCAB)), jnp.float32)
+    lb = jnp.asarray(rng.integers(0, CLASSES, batch), jnp.int32)
+    return img, md, lb
+
+
+def _pair(config):
+    """(candidate model+params, supernet model+embedded params+masks)."""
+    env = envelope_of([config, MAX_POOL])
+    img, md, _ = _data()
+    cand_model = make_dynamic_model(config, num_classes=CLASSES, vocab_size=VOCAB)
+    cand = cand_model.init(jax.random.key(1), img, md)["params"]
+    sup_model = SuperNet(env, num_classes=CLASSES, vocab_size=VOCAB)
+    masks = jax.tree_util.tree_map(
+        jnp.asarray, candidate_masks(config, env)
+    )
+    sup0 = sup_model.init(jax.random.key(2), img, md, masks)["params"]
+    sup = embed_params(cand, sup0, config, env)
+    return cand_model, cand, sup_model, sup, masks
+
+
+@pytest.mark.parametrize("config", CANDIDATES,
+                         ids=[c["attention_mecanism"] + str(i)
+                              for i, c in enumerate(CANDIDATES)])
+def test_masked_forward_matches_candidate(config):
+    cand_model, cand, sup_model, sup, masks = _pair(config)
+    img, md, _ = _data()
+    want = cand_model.apply({"params": cand}, img, md)
+    got = sup_model.apply({"params": sup}, img, md, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_two_adam_steps_match_candidate():
+    """End-to-end gradient exactness: two Adam steps on supernet(masked) and
+    on the standalone candidate give identical logits afterwards — covers
+    grads, masking dead-paths, and optimizer interaction in one check."""
+    config = CANDIDATES[1]
+    cand_model, cand, sup_model, sup, masks = _pair(config)
+    img, md, lb = _data()
+    tx = optax.adam(1e-3)
+
+    def fit(apply_fn, params):
+        opt = tx.init(params)
+        for _ in range(2):
+            def loss_of(p):
+                logits = apply_fn(p)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), lb
+                ).mean()
+
+            grads = jax.grad(lambda p: loss_of(p))(params)
+            updates, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+        return apply_fn(params)
+
+    want = fit(lambda p: cand_model.apply({"params": p}, img, md), cand)
+    got = fit(lambda p: sup_model.apply({"params": p}, img, md, masks), sup)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_vmapped_population_matches_per_candidate_forward():
+    """The stacked (params, masks) vmap reproduces each candidate's forward."""
+    env = envelope_of(CANDIDATES)
+    img, md, _ = _data()
+    sup_model = SuperNet(env, num_classes=CLASSES, vocab_size=VOCAB)
+    packs = []
+    for i, config in enumerate(CANDIDATES):
+        cand_model = make_dynamic_model(config, num_classes=CLASSES,
+                                        vocab_size=VOCAB)
+        cand = cand_model.init(jax.random.key(10 + i), img, md)["params"]
+        masks = candidate_masks(config, env)
+        sup0 = sup_model.init(
+            jax.random.key(0), img, md,
+            jax.tree_util.tree_map(jnp.asarray, masks),
+        )["params"]
+        want = cand_model.apply({"params": cand}, img, md)
+        packs.append((embed_params(cand, sup0, config, env), masks, want))
+
+    params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *[p for p, _, _ in packs])
+    masks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[m for _, m, _ in packs])
+    got = jax.vmap(
+        lambda p, m: sup_model.apply({"params": p}, img, md, m)
+    )(params, masks)
+    for ki, (_, _, want) in enumerate(packs):
+        np.testing.assert_allclose(np.asarray(got[ki]), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_population_trainer_end_to_end():
+    src = synthetic_source(n=48, image_size=(16, 16), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=3)
+    idx = np.arange(len(src))
+    trainer = PopulationTrainer(
+        SubsetSource(src, idx[:36]), SubsetSource(src, idx[36:]),
+        num_classes=CLASSES,
+        config=TrainConfig(num_epochs=2, batch_size=12,
+                           early_stopping_patience=2,
+                           early_stopping_metric="val_bacc",
+                           image_dtype="float32"),
+        vocab_size=VOCAB,
+    )
+    rewards = trainer.evaluate(CANDIDATES)
+    assert len(rewards) == len(CANDIDATES)
+    assert all(0.0 <= r <= 1.0 for r in rewards)
+
+
+def test_run_nas_population_and_memoization():
+    src = synthetic_source(n=40, image_size=(16, 16), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=4)
+    space = {
+        "num_blocks": [1], "initial_filters": [8], "kernel_size": [3],
+        "layers_per_block": [1], "use_pooling": [True], "common_dim": [16],
+        "attention_mecanism": ["concatenation", "metablock"],
+        "num_layers_text_fc": [1], "neurons_per_layer_size_of_text_fc": [16],
+        "num_layers_fc_module": [1],
+        "neurons_per_layer_size_of_fc_module": [32],
+    }
+    best_cfg, best_reward, log = run_nas(
+        src, num_classes=CLASSES, strategy="random", search_steps=6,
+        search_space=space, population_size=3,
+        train_cfg=TrainConfig(num_epochs=1, batch_size=10,
+                              early_stopping_patience=1,
+                              early_stopping_metric="val_bacc",
+                              image_dtype="float32"),
+        results_dir="/tmp/nas_pop_test", seed=0,
+    )
+    assert len(log) == 6
+    assert best_cfg is not None and 0.0 <= best_reward <= 1.0
+    # 2-config space, 6 draws: pigeonhole guarantees repeats -> memo hits
+    assert any(e.get("cached") for e in log)
+    # every repeat of a config earned exactly the cached reward
+    by_key = {}
+    for e in log:
+        key = tuple(sorted((k, str(v)) for k, v in e["config"].items()))
+        by_key.setdefault(key, set()).add(round(e["reward"], 9))
+    assert all(len(v) == 1 for v in by_key.values())

@@ -57,3 +57,19 @@ def test_scan_traces_faster_when_deep():
     t_scan = trace_time(True)
     # scan traces the body once vs 24 times; require a real reduction
     assert t_scan < t_loop * 0.7, (t_scan, t_loop)
+
+
+def test_beit_scan_matches_loop():
+    from skinjax.models.backbones.beit import Beit
+
+    depth = 3
+    loop = Beit(dim=32, depth=depth, num_heads=2, patch=8)
+    scan = Beit(dim=32, depth=depth, num_heads=2, patch=8, scan_blocks=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    params = loop.init(jax.random.key(0), x)["params"]
+    sparams = stack_block_params(params, depth)
+    got = scan.apply({"params": sparams}, x)
+    want = loop.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
