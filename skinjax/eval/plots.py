@@ -130,3 +130,89 @@ def dataset_sample_grid(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=100)
     plt.close(fig)
+
+
+def create_gif(
+    image_paths: Sequence[str], output_gif_path: str,
+    titles: Optional[Sequence[str]] = None, duration: int = 500,
+) -> None:
+    """Titled animated GIF from saved plot images (plots/create_gif.py:29-45:
+    title drawn centered at the top of each frame, 500 ms default frame
+    duration, infinite loop)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    titles = list(titles or [])
+    frames = []
+    for i, p in enumerate(image_paths):
+        img = Image.open(p).convert("RGB")
+        title = titles[i] if i < len(titles) else f"Image {i + 1}"
+        draw = ImageDraw.Draw(img)
+        font = ImageFont.load_default()
+        box = draw.textbbox((0, 0), title, font=font)
+        draw.text(((img.width - (box[2] - box[0])) // 2, 10), title,
+                  font=font, fill="white")
+        frames.append(img)
+    if not frames:
+        raise ValueError("create_gif needs at least one image")
+    os.makedirs(os.path.dirname(output_gif_path) or ".", exist_ok=True)
+    frames[0].save(
+        output_gif_path, save_all=True, append_images=frames[1:],
+        duration=duration, loop=0,
+    )
+
+
+def export_model_graph(params, dot_path: str, png_path: Optional[str] = None,
+                       max_depth: int = 2) -> str:
+    """Architecture graph export (the torchviz make_dot role,
+    plots/plot_model.py:52-82): a Graphviz DOT file of the module hierarchy
+    with per-module parameter counts, plus an optional matplotlib-rendered
+    PNG (no graphviz binary in the image). Returns the DOT text."""
+    import jax
+
+    counts: Dict[str, int] = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        for d in range(1, min(max_depth, len(keys)) + 1):
+            prefix = "/".join(keys[:d])
+            counts[prefix] = counts.get(prefix, 0) + int(np.prod(leaf.shape))
+
+    def nid(name: str) -> str:
+        return "n_" + name.replace("/", "__").replace("-", "_").replace(".", "_")
+
+    lines = ["digraph model {", '  rankdir="TB";',
+             '  node [shape=box, fontsize=10];']
+    for name, c in sorted(counts.items()):
+        label = f"{name.rsplit('/', 1)[-1]}\\n{c:,} params"
+        lines.append(f'  {nid(name)} [label="{label}"];')
+        if "/" in name:
+            lines.append(f"  {nid(name.rsplit('/', 1)[0])} -> {nid(name)};")
+    lines.append("}")
+    dot = "\n".join(lines)
+    os.makedirs(os.path.dirname(dot_path) or ".", exist_ok=True)
+    with open(dot_path, "w") as f:
+        f.write(dot)
+
+    if png_path:  # simple tree render: one row per module, indented by depth
+        plt = _plt()
+        names = sorted(counts)
+        fig, ax = plt.subplots(figsize=(8, 0.28 * len(names) + 1))
+        ax.axis("off")
+        total = max(
+            (c for n, c in counts.items() if "/" not in n), default=1
+        )
+        for i, name in enumerate(names):
+            depth = name.count("/")
+            c = counts[name]
+            y = len(names) - i
+            ax.text(0.02 + 0.06 * depth, y, name.rsplit("/", 1)[-1],
+                    fontsize=8, va="center")
+            ax.barh(y, 0.3 * c / max(total, 1), left=0.62, height=0.6,
+                    color="#4878d0")
+            ax.text(0.94, y, f"{c:,}", fontsize=7, va="center", ha="right")
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, len(names) + 1)
+        fig.tight_layout()
+        os.makedirs(os.path.dirname(png_path) or ".", exist_ok=True)
+        fig.savefig(png_path, dpi=120)
+        plt.close(fig)
+    return dot

@@ -95,3 +95,33 @@ def test_model_summary_and_nas_convergence(tmp_path):
     import os
 
     assert os.path.getsize(p) > 0
+
+
+def test_create_gif_and_model_graph(tmp_path):
+    """GIF + architecture-graph exports (plots/create_gif.py,
+    plots/plot_model.py — the round-1 'token omissions')."""
+    import numpy as np
+    from PIL import Image
+
+    from skinjax.eval.plots import create_gif, export_model_graph
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(
+            np.full((40, 60, 3), 60 * i, dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    gif = tmp_path / "out.gif"
+    create_gif(paths, str(gif), titles=["a", "b"])
+    img = Image.open(gif)
+    assert getattr(img, "n_frames", 1) == 3
+
+    params = {
+        "backbone": {"conv1": {"kernel": np.zeros((3, 3, 3, 8))},
+                     "bn": {"scale": np.zeros(8)}},
+        "head": {"kernel": np.zeros((8, 4)), "bias": np.zeros(4)},
+    }
+    dot = export_model_graph(
+        params, str(tmp_path / "g.dot"), png_path=str(tmp_path / "g.png"))
+    assert (tmp_path / "g.dot").exists() and (tmp_path / "g.png").exists()
+    assert "backbone" in dot and "->" in dot
