@@ -82,10 +82,18 @@ class PopulationTrainer:
         exact_init: bool = False,
         seed: int = 42,
         vocab_size: Optional[int] = None,
+        mesh=None,
+        mesh_axis: str = "data",
     ):
         self.train_source = train_source
         self.val_source = val_source
         self.num_classes = num_classes
+        # pjit across candidates: shard the stacked candidate axis over the
+        # mesh, one (or more) candidates per device — SURVEY §7's
+        # "vmap/pjit across candidate configs". The batch is replicated;
+        # each device trains its own architectures with zero collectives.
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.cfg = config or TrainConfig(
             num_epochs=10, early_stopping_patience=5,
             early_stopping_metric="val_bacc",
@@ -164,6 +172,23 @@ class PopulationTrainer:
             opt_state=jax.vmap(tx.init)(params),
             step=jnp.asarray(0, jnp.int32),
         )
+        if self.mesh is not None and K % self.mesh.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            cand_sh = NamedSharding(self.mesh, P(self.mesh_axis))
+            rep_sh = NamedSharding(self.mesh, P())
+
+            def put(leaf):
+                leaf = jnp.asarray(leaf)
+                sh = (
+                    cand_sh
+                    if leaf.ndim >= 1 and leaf.shape[0] == K
+                    else rep_sh
+                )
+                return jax.device_put(leaf, sh)
+
+            state = jax.tree_util.tree_map(put, state)
+            masks = jax.tree_util.tree_map(put, masks)
 
         wloss = weighted_loss(cfg.loss, cfg.focal_gamma)
         cw = jnp.asarray(self.class_weights)
@@ -286,6 +311,7 @@ def make_population_evaluator(
     seed: int = 42,
     exact_init: bool = False,
     bucket_keys: Sequence[str] = DEFAULT_BUCKET_KEYS,
+    mesh=None,
 ) -> Callable[[Sequence[Dict]], List[float]]:
     """80/20 split (as nas/optimization_train_process_pad_20.py:232-237) +
     a PopulationTrainer over it; returns ``configs -> rewards``."""
@@ -303,5 +329,6 @@ def make_population_evaluator(
         exact_init=exact_init,
         seed=seed,
         vocab_size=int(source.features.shape[1]),
+        mesh=mesh,
     )
     return trainer.evaluate

@@ -204,3 +204,41 @@ def test_run_nas_population_and_memoization():
         key = tuple(sorted((k, str(v)) for k, v in e["config"].items()))
         by_key.setdefault(key, set()).add(round(e["reward"], 9))
     assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_population_sharded_over_mesh_matches_unsharded():
+    """pjit across candidates (SURVEY §7): stacked candidate axis sharded
+    one-per-device over the 8-device CPU mesh; rewards match the unsharded
+    run (deterministic trainer)."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices())
+    if devices.size < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(devices[:8].reshape(8), axis_names=("data",))
+
+    # 8 candidates in ONE bucket (same pooling/blocks/kernel)
+    base = CANDIDATES[0]
+    pop = []
+    for i in range(8):
+        c = dict(base)
+        c["common_dim"] = [16, 32, 64][i % 3]
+        c["attention_mecanism"] = ["concatenation", "crossattention",
+                                   "metablock", "gfcam"][i % 4]
+        pop.append(c)
+
+    src = synthetic_source(n=40, image_size=(16, 16), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=5)
+    idx = np.arange(len(src))
+    cfg = TrainConfig(num_epochs=1, batch_size=10, early_stopping_patience=1,
+                      early_stopping_metric="val_bacc", image_dtype="float32")
+
+    def run(mesh_arg):
+        tr = PopulationTrainer(
+            SubsetSource(src, idx[:32]), SubsetSource(src, idx[32:]),
+            num_classes=CLASSES, config=cfg, vocab_size=VOCAB, mesh=mesh_arg)
+        return tr.evaluate(pop)
+
+    plain = run(None)
+    sharded = run(mesh)
+    np.testing.assert_allclose(sharded, plain, atol=1e-4)
