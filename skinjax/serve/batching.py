@@ -72,7 +72,9 @@ class BatchingEngine:
         self.timeout_s = timeout_s
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
-        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._direct = threading.Lock()  # guards the low-load fast path
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "direct_requests": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -96,8 +98,23 @@ class BatchingEngine:
     def predict_probs_queued(
         self, image: np.ndarray, feats: np.ndarray
     ) -> np.ndarray:
-        """Enqueue one preprocessed request; blocks until its batch ran."""
+        """Enqueue one preprocessed request; blocks until its batch ran.
+
+        Fast path: when nothing is queued and no other direct call is in
+        flight, run the batch-1 forward in the caller's thread — a lone
+        client pays direct-call latency (no linger, no queue/thread
+        handoff). Under load the lock is held or the queue is non-empty and
+        requests flow through the batching worker."""
         p = _Pending(np.asarray(image), np.asarray(feats))
+        if self._q.empty() and self._direct.acquire(blocking=False):
+            try:
+                if self._q.empty():
+                    probs = self.engine.predict_probs(p.image, p.feats)
+                    self.stats["requests"] += 1
+                    self.stats["direct_requests"] += 1
+                    return probs
+            finally:
+                self._direct.release()
         self._q.put(p)
         if not p.event.wait(self.timeout_s):
             raise TimeoutError("batched inference timed out")

@@ -125,3 +125,14 @@ def test_unbatched_request_rank_normalized(batcher):
     probs = batcher.predict_probs_queued(
         np.zeros((32, 32, 3), np.float32), np.zeros(feat_dim, np.float32))
     assert probs.shape[0] == 1
+
+
+def test_lone_request_takes_direct_fast_path(batcher):
+    """An idle-queue request runs in the caller thread (no linger)."""
+    before = batcher.stats["direct_requests"]
+    eng = batcher.engine
+    feat_dim = eng.featurizer.dim if eng.featurizer else 16
+    batcher.predict_probs_queued(
+        np.zeros((1, 32, 32, 3), np.float32),
+        np.zeros((1, feat_dim), np.float32))
+    assert batcher.stats["direct_requests"] == before + 1
