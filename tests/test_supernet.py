@@ -242,3 +242,46 @@ def test_population_sharded_over_mesh_matches_unsharded():
     plain = run(None)
     sharded = run(mesh)
     np.testing.assert_allclose(sharded, plain, atol=1e-4)
+
+
+def test_masked_forward_no_pooling_envelope():
+    """use_pooling=False population (deep spatial maps, no pool guard)."""
+    config = {"num_blocks": 2, "initial_filters": 16, "kernel_size": 3,
+              "layers_per_block": 1, "use_pooling": False, "common_dim": 32,
+              "attention_mecanism": "concatenation", "num_layers_text_fc": 1,
+              "neurons_per_layer_size_of_text_fc": 32,
+              "num_layers_fc_module": 1,
+              "neurons_per_layer_size_of_fc_module": 32}
+    maxi = dict(MAX_POOL, use_pooling=False)
+    env = envelope_of([config, maxi])
+    img, md, _ = _data(size=12)
+    cand_model = make_dynamic_model(config, num_classes=CLASSES,
+                                    vocab_size=VOCAB)
+    cand = cand_model.init(jax.random.key(1), img, md)["params"]
+    sup_model = SuperNet(env, num_classes=CLASSES, vocab_size=VOCAB)
+    masks = jax.tree_util.tree_map(jnp.asarray, candidate_masks(config, env))
+    sup0 = sup_model.init(jax.random.key(2), img, md, masks)["params"]
+    sup = embed_params(cand, sup0, config, env)
+    want = cand_model.apply({"params": cand}, img, md)
+    got = sup_model.apply({"params": sup}, img, md, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_population_exact_init_matches_candidate_first_eval():
+    """exact_init=True: the vmapped candidate starts from the SAME params
+    its standalone DynamicCNN init would draw (embedded layout)."""
+    src = synthetic_source(n=24, image_size=(12, 12), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=6)
+    idx = np.arange(len(src))
+    trainer = PopulationTrainer(
+        SubsetSource(src, idx[:18]), SubsetSource(src, idx[18:]),
+        num_classes=CLASSES,
+        config=TrainConfig(num_epochs=1, batch_size=6,
+                           early_stopping_patience=1,
+                           early_stopping_metric="val_bacc",
+                           image_dtype="float32"),
+        vocab_size=VOCAB, exact_init=True,
+    )
+    rewards = trainer.evaluate(CANDIDATES[:2])
+    assert len(rewards) == 2 and all(0.0 <= r <= 1.0 for r in rewards)
