@@ -32,39 +32,43 @@ engine = InferenceEngine(model, variables, class_names=[str(i) for i in range(6)
 batcher = BatchingEngine(engine, max_batch=32, max_wait_ms=4.0)
 
 rng = np.random.default_rng(0)
-img = rng.normal(size=(224, 224, 3)).astype(np.float32)
+img_f32 = rng.normal(size=(224, 224, 3)).astype(np.float32)
+img_u8 = rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
 feats = rng.normal(size=(91,)).astype(np.float32)
 
-# warm the compile cache for the power-of-two buckets
+# warm the compile cache for the power-of-two buckets, both dtype paths
 for n in (1, 2, 4, 8, 16, 32):
     engine.predict_probs(
-        np.repeat(img[None], n, 0), np.repeat(feats[None], n, 0))
+        np.repeat(img_f32[None], n, 0), np.repeat(feats[None], n, 0))
+    engine.predict_probs(
+        np.repeat(img_u8[None], n, 0), np.repeat(feats[None], n, 0))
 
-for clients in (1, 8, 32):
-    lats = []
-    lock = threading.Lock()
-    stop = time.time() + 12.0
+for path, img in (("u8 ", img_u8), ("f32", img_f32)):
+    for clients in (1, 8, 32):
+        lats = []
+        lock = threading.Lock()
+        stop = time.time() + 12.0
 
-    def worker():
-        done = 0
-        # at least 20 requests per worker even if the wall-clock window
-        # elapsed (thread start can lag badly on a loaded host)
-        while done < 20 or time.time() < stop:
-            t0 = time.perf_counter()
-            batcher.predict_probs_queued(img, feats)
-            dt = (time.perf_counter() - t0) * 1e3
-            done += 1
-            with lock:
-                lats.append(dt)
+        def worker():
+            done = 0
+            # at least 20 requests per worker even if the wall-clock window
+            # elapsed (thread start can lag badly on a loaded host)
+            while done < 20 or time.time() < stop:
+                t0 = time.perf_counter()
+                batcher.predict_probs_queued(img, feats)
+                dt = (time.perf_counter() - t0) * 1e3
+                done += 1
+                with lock:
+                    lats.append(dt)
 
-    threads = [threading.Thread(target=worker) for _ in range(clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    arr = np.asarray(lats)
-    print(f"clients={clients:2d}: p50={np.percentile(arr, 50):6.1f} ms "
-          f"p95={np.percentile(arr, 95):6.1f} ms "
-          f"throughput={len(arr) / 12.0:6.1f} req/s "
-          f"(n={len(arr)})", flush=True)
+        threads = [threading.Thread(target=worker) for _ in range(clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        arr = np.asarray(lats)
+        print(f"{path} clients={clients:2d}: p50={np.percentile(arr, 50):6.1f} ms "
+              f"p95={np.percentile(arr, 95):6.1f} ms "
+              f"throughput={len(arr) / 12.0:6.1f} req/s "
+              f"(n={len(arr)})", flush=True)
 batcher.shutdown()

@@ -1,3 +1,4 @@
-from skinjax.serve.engine import InferenceEngine, preprocess_image
+from skinjax.serve.engine import (InferenceEngine, preprocess_image,
+                                  preprocess_image_u8)
 
-__all__ = ["InferenceEngine", "preprocess_image"]
+__all__ = ["InferenceEngine", "preprocess_image", "preprocess_image_u8"]

@@ -27,7 +27,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from skinjax.serve.engine import InferenceEngine, preprocess_image
+from skinjax.serve.engine import InferenceEngine, preprocess_image_u8
 
 
 class _Pending:
@@ -84,7 +84,9 @@ class BatchingEngine:
         return self.engine.class_names
 
     def predict(self, image_u8: np.ndarray, metadata_csv_line: str) -> Dict:
-        image = preprocess_image(image_u8)
+        # uint8 through the queue: normalization happens on-device, so each
+        # request ships 4× fewer bytes to the (possibly tunneled) chip
+        image = preprocess_image_u8(image_u8)
         feats = self.engine._featurize_csv_line(metadata_csv_line)
         probs = self.predict_probs_queued(image, feats)[0]
         idx = int(probs.argmax())
@@ -150,22 +152,31 @@ class BatchingEngine:
             if not group:
                 continue
             try:
-                n = len(group)
-                b = _bucket(n, self.max_batch)
-                images = np.concatenate(
-                    [p.image for p in group]
-                    + [group[-1].image] * (b - n)  # pad to the bucket size
-                )
-                feats = np.concatenate(
-                    [p.feats for p in group] + [group[-1].feats] * (b - n)
-                )
-                probs = self.engine.predict_probs(images, feats)
-                for i, p in enumerate(group):
-                    p.probs = probs[i : i + 1]
-                self.stats["requests"] += n
-                self.stats["batches"] += 1
-                if n > 1:
-                    self.stats["batched_requests"] += n
+                # one forward per dtype family: uint8 requests (on-device
+                # normalize) and pre-normalized float requests can't share a
+                # concatenated batch
+                subgroups: Dict[bool, List[_Pending]] = {}
+                for p in group:
+                    subgroups.setdefault(
+                        p.image.dtype == np.uint8, []
+                    ).append(p)
+                for sub in subgroups.values():
+                    n = len(sub)
+                    b = _bucket(n, self.max_batch)
+                    images = np.concatenate(
+                        [p.image for p in sub]
+                        + [sub[-1].image] * (b - n)  # pad to the bucket size
+                    )
+                    feats = np.concatenate(
+                        [p.feats for p in sub] + [sub[-1].feats] * (b - n)
+                    )
+                    probs = self.engine.predict_probs(images, feats)
+                    for i, p in enumerate(sub):
+                        p.probs = probs[i : i + 1]
+                    self.stats["requests"] += n
+                    self.stats["batches"] += 1
+                    if n > 1:
+                        self.stats["batched_requests"] += n
             except Exception as e:  # noqa: BLE001 - fan the error out
                 for p in group:
                     p.error = e

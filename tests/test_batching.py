@@ -136,3 +136,32 @@ def test_lone_request_takes_direct_fast_path(batcher):
         np.zeros((1, 32, 32, 3), np.float32),
         np.zeros((1, feat_dim), np.float32))
     assert batcher.stats["direct_requests"] == before + 1
+
+
+def test_uint8_requests_normalize_on_device(batcher):
+    """uint8 path (on-device normalization, 4x smaller transfer) agrees
+    with the pre-normalized float path; mixed-dtype groups are split."""
+    from skinjax.serve.engine import preprocess_image, preprocess_image_u8
+
+    eng = batcher.engine
+    feat_dim = eng.featurizer.dim if eng.featurizer else 16
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    feats = np.zeros((1, feat_dim), np.float32)
+    p_f32 = eng.predict_probs(preprocess_image(raw, size=(32, 32)), feats)
+    p_u8 = eng.predict_probs(preprocess_image_u8(raw, size=(32, 32)), feats)
+    np.testing.assert_allclose(p_u8, p_f32, atol=1e-4)
+
+    # mixed dtypes through the queue resolve to the same answers
+    results = {}
+
+    def call(key, img):
+        results[key] = batcher.predict_probs_queued(img, feats)
+
+    ts = [threading.Thread(target=call, args=("f32", preprocess_image(raw, size=(32, 32)))),
+          threading.Thread(target=call, args=("u8", preprocess_image_u8(raw, size=(32, 32))))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    np.testing.assert_allclose(results["u8"], results["f32"], atol=1e-4)
