@@ -146,7 +146,8 @@ class CAFormer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, features: bool = False):
+    def __call__(self, x, *, train: bool = False, features: bool = False,
+                 feature_delta=None, capture: bool = False):
         x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4), padding=[(2, 2)] * 2,
                     dtype=self.dtype, name="stem_conv")(x)
         x = _ln_nb(self.dtype, "stem_norm")(x)
@@ -160,10 +161,14 @@ class CAFormer(nn.Module):
             for bi in range(depth):
                 x = MetaFormerBlock(dim, mixer, res_scale=rs, dtype=self.dtype,
                                     name=f"stage{si}_block{bi}")(x)
+        if feature_delta is not None:  # CAM support — see davit.py
+            x = x + feature_delta
+        fmap = x
         if features:
             return x
         x = x.mean(axis=(1, 2))
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(x)
+        return (x, fmap) if capture else x
 
 
 caformer_s18 = partial(CAFormer, dims=(64, 128, 320, 512), depths=(3, 3, 9, 3))

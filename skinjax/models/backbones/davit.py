@@ -217,7 +217,8 @@ class DaViT(nn.Module):
     fused_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, features: bool = False):
+    def __call__(self, x, *, train: bool = False, features: bool = False,
+                 feature_delta=None, capture: bool = False):
         x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4), padding=[(3, 3)] * 2,
                     dtype=self.dtype, name="stem_conv")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="stem_norm")(x)
@@ -230,10 +231,17 @@ class DaViT(nn.Module):
                                  name=f"stage{si}_block{bi}_spatial")(x)
                 x = ChannelBlock(dim, h, dtype=self.dtype,
                                  name=f"stage{si}_block{bi}_channel")(x)
+        # CAM support (xai/cam.py): perturb/capture the final spatial map
+        # while the pooled head still flows from it, so jax.grad of a class
+        # score w.r.t. feature_delta is d(score)/d(feature_map)
+        if feature_delta is not None:
+            x = x + feature_delta
+        fmap = x
         if features:
             return x
         x = x.mean(axis=(1, 2))
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
+        return (x, fmap) if capture else x
 
 
 davit_tiny = partial(DaViT)

@@ -215,7 +215,8 @@ class NextViT(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, features: bool = False):
+    def __call__(self, x, *, train: bool = False, features: bool = False,
+                 feature_delta=None, capture: bool = False):
         chans, types = nextvit_plan(self.depths)
         if self.stage_channels is not None:
             chans = [list(c) for c in self.stage_channels]
@@ -243,9 +244,13 @@ class NextViT(nn.Module):
                             name=f"b{idx}")(x, train=train)
                 idx += 1
         x = _bn(train, self.dtype, "norm")(x)
+        if feature_delta is not None:  # CAM support — see davit.py
+            x = x + feature_delta
+        fmap = x
         if features:
             return x
-        return x.mean(axis=(1, 2))
+        x = x.mean(axis=(1, 2))
+        return (x, fmap) if capture else x
 
 
 nextvit_small = partial(NextViT, depths=(3, 4, 10, 3))

@@ -194,7 +194,22 @@ class MultimodalModel(nn.Module):
         mech = self.attention_mechanism
 
         # ---- Image tower → (B, D_img) -------------------------------------
-        img_feat = self.image_encoder(image, train=train)
+        img_feat = None
+        if capture or feature_delta is not None:
+            # pooled-output backbones (davit/caformer/nextvit) expose their
+            # final spatial map through capture/feature_delta kwargs so the
+            # CAM gradient flows map → pooled head → logits
+            try:
+                img_feat = self.image_encoder(
+                    image, train=train, capture=True,
+                    feature_delta=feature_delta,
+                )
+            except TypeError:
+                img_feat = None
+            if isinstance(img_feat, tuple):
+                img_feat, aux["feature_map"] = img_feat
+        if img_feat is None:
+            img_feat = self.image_encoder(image, train=train)
         if img_feat.ndim == 4:  # NHWC spatial map → GAP
             if feature_delta is not None:
                 img_feat = img_feat + feature_delta

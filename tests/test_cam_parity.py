@@ -74,3 +74,30 @@ def test_grad_cam_pp_matches_torch():
     ref = _torch_gradcam_pp(tm, timg, torch.tensor(meta), torch.tensor(cls))
 
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3)
+
+
+def test_grad_cam_on_pooled_transformer_backbone():
+    """CAM on davit (the reference's best-BACC backbone): pooled-output
+    backbones expose their final spatial map via capture/feature_delta, so
+    Grad-CAM's gradient flows map -> pooled head -> logits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skinjax.models import MultimodalModel
+    from skinjax.xai.cam import grad_cam, grad_cam_pp
+
+    m = MultimodalModel(
+        num_classes=4, num_heads=8, cnn_model_name="davit_tiny",
+        text_model_name="one-hot-encoder", common_dim=64, vocab_size=7,
+        attention_mechanism="concatenation")
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 224, 224, 3)), jnp.float32)
+    md = jnp.zeros((1, 7), jnp.float32)
+    v = m.init(jax.random.key(0), img, md)
+    cls = np.array([1])
+    for fn in (grad_cam, grad_cam_pp):
+        cam = np.asarray(fn(m, v, img, md, class_idx=cls))
+        assert cam.shape[0] == 1 and cam.ndim == 3
+        assert np.isfinite(cam).all()
+        assert cam.max() > 0  # non-degenerate map
