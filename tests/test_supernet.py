@@ -285,3 +285,30 @@ def test_population_exact_init_matches_candidate_first_eval():
     )
     rewards = trainer.evaluate(CANDIDATES[:2])
     assert len(rewards) == 2 and all(0.0 <= r <= 1.0 for r in rewards)
+
+
+def test_run_nas_reinforce_with_population():
+    """REINFORCE + vmapped population: controller updates consume per-sample
+    rewards from grouped evaluations, entropy/baseline stats intact."""
+    src = synthetic_source(n=40, image_size=(16, 16), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=8)
+    space = {
+        "num_blocks": [1, 2], "initial_filters": [8], "kernel_size": [3],
+        "layers_per_block": [1], "use_pooling": [True], "common_dim": [16],
+        "attention_mecanism": ["concatenation", "gfcam"],
+        "num_layers_text_fc": [1], "neurons_per_layer_size_of_text_fc": [16],
+        "num_layers_fc_module": [1],
+        "neurons_per_layer_size_of_fc_module": [32],
+    }
+    best_cfg, best_reward, log = run_nas(
+        src, num_classes=CLASSES, strategy="reinforce", search_steps=4,
+        search_space=space, population_size=2,
+        train_cfg=TrainConfig(num_epochs=1, batch_size=10,
+                              early_stopping_patience=1,
+                              early_stopping_metric="val_bacc",
+                              image_dtype="float32"),
+        results_dir="/tmp/nas_pop_reinforce_test", seed=0,
+    )
+    assert len(log) == 4 and best_cfg is not None
+    # REINFORCE stats flow through grouped evaluation
+    assert all("entropy" in e or "baseline" in e or "reward" in e for e in log)
