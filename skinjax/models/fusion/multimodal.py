@@ -198,16 +198,20 @@ class MultimodalModel(nn.Module):
         if capture or feature_delta is not None:
             # pooled-output backbones (davit/caformer/nextvit) expose their
             # final spatial map through capture/feature_delta kwargs so the
-            # CAM gradient flows map → pooled head → logits
-            try:
-                img_feat = self.image_encoder(
+            # CAM gradient flows map → pooled head → logits. Capability is
+            # detected by SIGNATURE, not try/except — a TypeError raised
+            # inside the encoder must propagate, not silently drop the delta
+            # (which would make jax.grad w.r.t. it all-zeros).
+            import inspect
+
+            params = inspect.signature(
+                type(self.image_encoder).__call__
+            ).parameters
+            if "capture" in params and "feature_delta" in params:
+                img_feat, aux["feature_map"] = self.image_encoder(
                     image, train=train, capture=True,
                     feature_delta=feature_delta,
                 )
-            except TypeError:
-                img_feat = None
-            if isinstance(img_feat, tuple):
-                img_feat, aux["feature_map"] = img_feat
         if img_feat is None:
             img_feat = self.image_encoder(image, train=train)
         if img_feat.ndim == 4:  # NHWC spatial map → GAP

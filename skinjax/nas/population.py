@@ -50,6 +50,40 @@ from skinjax.train.optimizer import make_optimizer
 
 DEFAULT_BUCKET_KEYS = ("use_pooling", "num_blocks", "kernel_size")
 
+# DynamicCNN's cfg.get(...) defaults (nas/dynamic_model.py) — population
+# configs normalize through these so partially-specified configs (valid for
+# the sequential path) bucket/envelope instead of KeyError-ing
+_CONFIG_DEFAULTS = {
+    "num_blocks": 3,
+    "initial_filters": 64,
+    "kernel_size": 3,
+    "layers_per_block": 2,
+    "use_pooling": True,
+    "common_dim": 512,
+    "attention_mecanism": "concatenation",
+    "num_layers_text_fc": 2,
+    "neurons_per_layer_size_of_text_fc": 512,
+    "num_layers_fc_module": 2,
+    "neurons_per_layer_size_of_fc_module": 512,
+}
+
+
+def _normalize(config: Dict) -> Dict:
+    return {**_CONFIG_DEFAULTS, **dict(config)}
+
+
+def _config_key(config: Dict) -> int:
+    """Stable per-config init-seed offset: the same config draws the same
+    init regardless of which group/bucket it was sampled into."""
+    import json
+    import zlib
+
+    return zlib.crc32(
+        json.dumps(
+            {k: str(v) for k, v in sorted(config.items())}
+        ).encode()
+    )
+
 
 @struct.dataclass
 class PopulationState:
@@ -122,7 +156,7 @@ class PopulationTrainer:
         md1 = jnp.asarray(sample["metadata"][:1])
         if self.exact_init:
             stacked = []
-            for i, (cfg, masks) in enumerate(zip(configs, masks_list)):
+            for cfg, masks in zip(configs, masks_list):
                 sup = model.init(
                     jax.random.key(self.seed), img1, md1,
                     jax.tree_util.tree_map(jnp.asarray, masks),
@@ -131,16 +165,23 @@ class PopulationTrainer:
                     cfg, num_classes=self.num_classes,
                     vocab_size=self.vocab_size,
                 )
+                # init key derived from the CONFIG, not its position in the
+                # bucket — the same config re-sampled later draws the same
+                # init/reward (the premise of run_nas's memoization)
                 cand = cand_model.init(
-                    jax.random.key(self.seed + i), img1, md1
+                    jax.random.fold_in(
+                        jax.random.key(self.seed), _config_key(cfg)
+                    ),
+                    img1, md1,
                 )["params"]
                 stacked.append(embed_params(cand, sup, cfg, model.env))
             return jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *stacked
             )
         rngs = jnp.stack([
-            jax.random.key_data(jax.random.key(self.seed + i))
-            for i in range(len(configs))
+            jax.random.key_data(jax.random.fold_in(
+                jax.random.key(self.seed), _config_key(cfg)))
+            for cfg in configs
         ])
         masks = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *masks_list
@@ -288,17 +329,35 @@ class PopulationTrainer:
                 break
         return [float(b) for b in best]
 
-    def evaluate(self, configs: Sequence[Dict]) -> List[float]:
-        configs = [dict(c) for c in configs]
-        rewards = [0.0] * len(configs)
+    def evaluate(self, configs: Sequence[Dict]) -> List[Optional[float]]:
+        """Rewards per config, in order. A config that fails to train gets
+        ``None`` (run_nas scores it 0.0 for the controller — reference
+        parity — but skips memoizing it, so a transient failure doesn't pin
+        a config at zero for the rest of the search)."""
+        configs = [_normalize(c) for c in configs]
+        rewards: List[Optional[float]] = [None] * len(configs)
         for idx_group in _bucket(configs, self.bucket_keys):
             group = [configs[i] for i in idx_group]
             try:
-                group_rewards = self._train_bucket(group)
-            except Exception as e:  # failed bucket scores 0.0 (reference parity)
+                group_rewards: List[Optional[float]] = self._train_bucket(
+                    group
+                )
+            except Exception as e:
                 print(f"[nas] population bucket failed "
                       f"({type(e).__name__}: {e})")
-                group_rewards = [0.0] * len(group)
+                if len(group) == 1:
+                    group_rewards = [None]
+                else:
+                    # isolate the failure: retry each candidate alone so one
+                    # pathological config can't zero its bucket-mates
+                    group_rewards = []
+                    for c in group:
+                        try:
+                            group_rewards.extend(self._train_bucket([c]))
+                        except Exception as e2:
+                            print(f"[nas] candidate failed alone "
+                                  f"({type(e2).__name__}: {e2})")
+                            group_rewards.append(None)
             for i, r in zip(idx_group, group_rewards):
                 rewards[i] = r
         return rewards
@@ -309,10 +368,16 @@ def make_population_evaluator(
     num_classes: int,
     train_cfg: Optional[TrainConfig] = None,
     seed: int = 42,
-    exact_init: bool = False,
+    # exact_init by default: each candidate starts from the init its
+    # standalone DynamicCNN would draw (keyed by config, independent of
+    # grouping/envelope), so a re-sampled config re-earns the same reward up
+    # to dropout draws (whose WIDTH follows the envelope; distribution-
+    # equivalent, not bit-equal) — the property run_nas's memoization and
+    # REINFORCE comparisons rely on
+    exact_init: bool = True,
     bucket_keys: Sequence[str] = DEFAULT_BUCKET_KEYS,
     mesh=None,
-) -> Callable[[Sequence[Dict]], List[float]]:
+) -> Callable[[Sequence[Dict]], List[Optional[float]]]:
     """80/20 split (as nas/optimization_train_process_pad_20.py:232-237) +
     a PopulationTrainer over it; returns ``configs -> rewards``."""
     from skinjax.data.splits import train_val_split

@@ -153,7 +153,11 @@ def run_nas(
         fresh_unique: Dict[Tuple, int] = {}
         for i in fresh:
             fresh_unique.setdefault(cfg_key(proposals[i][0]), i)
-        rewards_by_key: Dict[Tuple, float] = {}
+        # reward None == "this evaluation failed": the controller still sees
+        # 0.0 (reference parity, optimization_train_process_pad_20.py:334),
+        # but the failure is NOT memoized — a transient crash must not pin a
+        # config at zero for the remaining search steps
+        rewards_by_key: Dict[Tuple, Optional[float]] = {}
         if evaluate_population is not None and fresh_unique:
             group_rewards = evaluate_population(
                 [proposals[i][0] for i in fresh_unique.values()]
@@ -164,10 +168,10 @@ def run_nas(
             for key, i in fresh_unique.items():
                 try:
                     rewards_by_key[key] = evaluate_candidate(proposals[i][0])
-                except Exception as e:  # failed configs score 0.0
+                except Exception as e:
                     print(f"[nas] step {step + i}: candidate failed "
                           f"({type(e).__name__}: {e})")
-                    rewards_by_key[key] = 0.0
+                    rewards_by_key[key] = None
 
         trained_now: set = set()
         for config, indices in proposals:
@@ -183,7 +187,10 @@ def run_nas(
                     else rewards_by_key[key]
                 )
                 cached = True
-            if memoize:
+            failed = reward is None
+            if failed:
+                reward = 0.0
+            if memoize and not failed:
                 memo[key] = reward
 
             if strategy == "reinforce":
@@ -202,6 +209,8 @@ def run_nas(
             entry = {"step": step, "config": config, "reward": reward, **stats}
             if cached:
                 entry["cached"] = True
+            if failed:
+                entry["failed"] = True
             log.append(entry)
             if tracker:
                 tracker.log_metric("reward", reward, step=step)

@@ -233,9 +233,14 @@ class SuperNet(nn.Module):
                 nn.initializers.lecun_normal(),
                 (ks, ks, x.shape[-1], sup_f[bi]),
             )
+            # promote like nn.Conv(dtype=None): bf16 image x f32 kernel runs
+            # in f32 — casting the kernel DOWN to the image dtype instead
+            # would silently break the forward/gradient exactness vs
+            # DynamicCNN under the default bfloat16 input pipeline
+            ct = jnp.promote_types(x.dtype, w.dtype)
             y = jax.lax.conv_general_dilated(
-                x,
-                (w * kmask).astype(x.dtype),
+                x.astype(ct),
+                (w * kmask).astype(ct),
                 (1, 1),
                 [(ks // 2, ks // 2)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),

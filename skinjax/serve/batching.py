@@ -73,6 +73,9 @@ class BatchingEngine:
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._direct = threading.Lock()  # guards the low-load fast path
+        # stats are written from the worker AND from fast-path caller
+        # threads — non-atomic += would drop counts
+        self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
                       "direct_requests": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -112,8 +115,9 @@ class BatchingEngine:
             try:
                 if self._q.empty():
                     probs = self.engine.predict_probs(p.image, p.feats)
-                    self.stats["requests"] += 1
-                    self.stats["direct_requests"] += 1
+                    with self._stats_lock:
+                        self.stats["requests"] += 1
+                        self.stats["direct_requests"] += 1
                     return probs
             finally:
                 self._direct.release()
@@ -151,16 +155,16 @@ class BatchingEngine:
             group = self._collect()
             if not group:
                 continue
-            try:
-                # one forward per dtype family: uint8 requests (on-device
-                # normalize) and pre-normalized float requests can't share a
-                # concatenated batch
-                subgroups: Dict[bool, List[_Pending]] = {}
-                for p in group:
-                    subgroups.setdefault(
-                        p.image.dtype == np.uint8, []
-                    ).append(p)
-                for sub in subgroups.values():
+            # one forward per dtype family: uint8 requests (on-device
+            # normalize) and pre-normalized float requests can't share a
+            # concatenated batch. Errors are isolated per subgroup — a
+            # failing uint8 batch must not clobber float results that
+            # already completed (and vice versa).
+            subgroups: Dict[bool, List[_Pending]] = {}
+            for p in group:
+                subgroups.setdefault(p.image.dtype == np.uint8, []).append(p)
+            for sub in subgroups.values():
+                try:
                     n = len(sub)
                     b = _bucket(n, self.max_batch)
                     images = np.concatenate(
@@ -173,13 +177,14 @@ class BatchingEngine:
                     probs = self.engine.predict_probs(images, feats)
                     for i, p in enumerate(sub):
                         p.probs = probs[i : i + 1]
-                    self.stats["requests"] += n
-                    self.stats["batches"] += 1
-                    if n > 1:
-                        self.stats["batched_requests"] += n
-            except Exception as e:  # noqa: BLE001 - fan the error out
-                for p in group:
-                    p.error = e
-            finally:
-                for p in group:
-                    p.event.set()
+                    with self._stats_lock:
+                        self.stats["requests"] += n
+                        self.stats["batches"] += 1
+                        if n > 1:
+                            self.stats["batched_requests"] += n
+                except Exception as e:  # noqa: BLE001 - fan the error out
+                    for p in sub:
+                        p.error = e
+                finally:
+                    for p in sub:
+                        p.event.set()

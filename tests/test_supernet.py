@@ -312,3 +312,66 @@ def test_run_nas_reinforce_with_population():
     assert len(log) == 4 and best_cfg is not None
     # REINFORCE stats flow through grouped evaluation
     assert all("entropy" in e or "baseline" in e or "reward" in e for e in log)
+
+
+def test_masked_forward_matches_candidate_bf16_input():
+    """bfloat16 input pipeline (the TrainConfig default): both nets promote
+    bf16 image x f32 kernel to f32 compute — exactness must survive."""
+    config = CANDIDATES[0]
+    cand_model, cand, sup_model, sup, masks = _pair(config)
+    img, md, _ = _data()
+    img16 = img.astype(jnp.bfloat16)
+    want = cand_model.apply({"params": cand}, img16, md)
+    got = sup_model.apply({"params": sup}, img16, md, masks)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-5, rtol=2e-5)
+
+
+def test_failed_candidate_isolated_from_bucket_mates():
+    """One pathological config must not zero its bucket-mates' rewards; it
+    scores None (run_nas: controller sees 0.0 but no memo entry)."""
+    src = synthetic_source(n=32, image_size=(12, 12), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=7)
+    idx = np.arange(len(src))
+    trainer = PopulationTrainer(
+        SubsetSource(src, idx[:24]), SubsetSource(src, idx[24:]),
+        num_classes=CLASSES,
+        config=TrainConfig(num_epochs=1, batch_size=8,
+                           early_stopping_patience=1,
+                           early_stopping_metric="val_bacc",
+                           image_dtype="float32"),
+        vocab_size=VOCAB,
+    )
+    good = CANDIDATES[0]
+    bad = dict(good, attention_mecanism="not-a-mechanism")
+    rewards = trainer.evaluate([good, bad, good])
+    assert rewards[1] is None
+    assert rewards[0] is not None and 0.0 <= rewards[0] <= 1.0
+    assert rewards[2] == rewards[0]
+
+
+def test_partial_config_uses_dynamiccnn_defaults():
+    """Configs valid for the sequential path (DynamicCNN cfg.get defaults)
+    must bucket/envelope instead of KeyError-ing."""
+    src = synthetic_source(n=24, image_size=(12, 12), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=9)
+    idx = np.arange(len(src))
+    trainer = PopulationTrainer(
+        SubsetSource(src, idx[:18]), SubsetSource(src, idx[18:]),
+        num_classes=CLASSES,
+        config=TrainConfig(num_epochs=1, batch_size=6,
+                           early_stopping_patience=1,
+                           early_stopping_metric="val_bacc",
+                           image_dtype="float32"),
+        vocab_size=VOCAB,
+    )
+    rewards = trainer.evaluate([
+        {"num_blocks": 1, "initial_filters": 8, "common_dim": 16,
+         "neurons_per_layer_size_of_text_fc": 16,
+         "neurons_per_layer_size_of_fc_module": 32,
+         "num_layers_fc_module": 1, "num_layers_text_fc": 1,
+         "layers_per_block": 1},
+    ])
+    assert rewards[0] is not None and 0.0 <= rewards[0] <= 1.0
