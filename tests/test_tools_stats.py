@@ -103,5 +103,8 @@ def test_step_timer():
         with t:
             time.sleep(0.01)
     s = t.summary()
-    assert s["steps"] == 3 and 5 < s["mean_step_ms"] < 100
+    # generous ceiling: sleep(0.01) has stretched past 100 ms under load on
+    # this 1-core host (observed 141 ms) — the assertion targets plumbing,
+    # not scheduler latency
+    assert s["steps"] == 3 and 5 < s["mean_step_ms"] < 2000
     assert np.isclose(s["images_per_sec_per_chip"], s["images_per_sec"] / 2)
