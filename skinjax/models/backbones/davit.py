@@ -146,6 +146,48 @@ class DaViTMlp(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
 
 
+class DaViTWindowAttentionEinsum(nn.Module):
+    """Window MHA computed on the 6-D (B, nH, w, nW, w, C) VIEW of the map —
+    a pure reshape, no transpose. The window grouping lives in the einsum
+    index structure instead of a materialized (B·nW, w², C) relayout, so XLA
+    chooses the layouts. Same param tree as DaViTWindowAttention.
+
+    **Measured REFUTED as a default** (davit_tiny B=64 full step, v5e):
+    387.8 img/s vs 924 for the partition path — the 8-D score tensor's
+    size-7 trailing dims underfill the 8×128 vector lanes, costing far more
+    than the partition transposes it avoids (~22%/step, docs/DESIGN.md §5b).
+    Kept opt-in (``SKINJAX_WINATTN=einsum``) as the documented negative
+    result: the copies are the price of lane-aligned (w², C) layouts."""
+
+    dim: int
+    num_heads: int
+    window: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        w = self.window
+        h = self.num_heads
+        hd = C // h
+        y = x.reshape(B, H // w, w, W // w, w, C)  # free: split adjacent dims
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(y)
+        shp = (B, H // w, w, W // w, w, h, hd)
+        q = qkv[..., :C].reshape(shp)
+        k = qkv[..., C:2 * C].reshape(shp)
+        v = qkv[..., 2 * C:].reshape(shp)
+        scale = hd ** -0.5
+        # scores between tokens (i,j) and (k,l) of window (a,c)
+        s = jnp.einsum("baicjhd,bakclhd->bachijkl", q * scale, k,
+                       preferred_element_type=jnp.float32)
+        s = s - s.max(axis=(-2, -1), keepdims=True)
+        e = jnp.exp(s)
+        attn = (e / e.sum(axis=(-2, -1), keepdims=True)).astype(x.dtype)
+        out = jnp.einsum("bachijkl,bakclhd->baicjhd", attn, v)
+        out = out.reshape(B, H // w, w, W // w, w, C).reshape(B, H, W, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
 class SpatialBlock(nn.Module):
     """cpe1 → LN → window attention → +res → cpe2 → LN → MLP → +res."""
 
@@ -154,16 +196,23 @@ class SpatialBlock(nn.Module):
     window: int = 7
     dtype: Optional[jnp.dtype] = None
     fused_attn: bool = False
+    einsum_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe1")(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        y = window_partition(y, self.window)
-        y = DaViTWindowAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                 fused=self.fused_attn, name="attn")(y)
-        y = window_reverse(y, self.window, H, W)
+        if self.einsum_attn and not self.fused_attn:
+            y = DaViTWindowAttentionEinsum(
+                self.dim, self.num_heads, self.window, dtype=self.dtype,
+                name="attn")(y)
+        else:
+            y = window_partition(y, self.window)
+            y = DaViTWindowAttention(self.dim, self.num_heads,
+                                     dtype=self.dtype,
+                                     fused=self.fused_attn, name="attn")(y)
+            y = window_reverse(y, self.window, H, W)
         x = x + y
         x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe2")(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
@@ -213,8 +262,10 @@ class DaViT(nn.Module):
     window: int = 7
     dtype: Optional[jnp.dtype] = None
     # Pallas fused window attention (ops/pallas/window_attention.py);
-    # default from SKINJAX_WINATTN=pallas (read at import time)
+    # default from SKINJAX_WINATTN=pallas (read at import time).
+    # SKINJAX_WINATTN=einsum: 6-D einsum windows (no partition transposes).
     fused_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
+    einsum_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "einsum"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, features: bool = False,
@@ -228,6 +279,7 @@ class DaViT(nn.Module):
             for bi in range(depth):
                 x = SpatialBlock(dim, h, self.window, dtype=self.dtype,
                                  fused_attn=self.fused_attn,
+                                 einsum_attn=self.einsum_attn,
                                  name=f"stage{si}_block{bi}_spatial")(x)
                 x = ChannelBlock(dim, h, dtype=self.dtype,
                                  name=f"stage{si}_block{bi}_channel")(x)

@@ -974,3 +974,23 @@ def test_davit_import_matches_torch():
     out = fm.apply({"params": params}, jnp.asarray(x))
     assert out.shape == ref.shape == (2, 32)
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)
+
+
+def test_davit_einsum_window_attention_parity():
+    """SKINJAX_WINATTN=einsum path == partition path (same param tree)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from skinjax.models.backbones.davit import DaViT
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)), jnp.float32)
+    a = DaViT(dims=(16, 32, 64, 128), heads=(2, 2, 2, 2),
+              fused_attn=False, einsum_attn=False)
+    b = DaViT(dims=(16, 32, 64, 128), heads=(2, 2, 2, 2),
+              fused_attn=False, einsum_attn=True)
+    p = a.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(b.apply(p, x)), np.asarray(a.apply(p, x)),
+        atol=3e-5, rtol=3e-5)
