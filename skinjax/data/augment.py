@@ -274,9 +274,13 @@ def _augment_one(img, key, cfg):
     if cfg.get("dropout_oneof"):
         kd1, kd2, kpick = jax.random.split(keys[6], 3)
         dropped_pix = pixel_dropout(img, kd1, cfg["pixel_drop_max"])
+        # reference computes floor(0.00125*H*W) holes from the ACTUAL image
+        # size (skinLesionDatasetsWithBert.py:94-103); H/W are static under
+        # jit so this stays a Python int
+        n_holes = max(1, int(cfg["holes_frac"] * img.shape[0] * img.shape[1]))
         dropped_coa = coarse_dropout(
-            img, kd2, max_holes=cfg["holes"], hole=cfg["hole_size"],
-            min_holes=cfg["holes"],
+            img, kd2, max_holes=n_holes, hole=cfg["hole_size"],
+            min_holes=n_holes,
         )
         pick = jax.random.uniform(kpick) < 0.5
         dropped = jnp.where(pick, dropped_pix, dropped_coa)
@@ -336,7 +340,7 @@ SENTENCE_CFG = dict(
     blur_sigma=3.0, p_blur=0.25, p_dropout=0.1, p_hsv=0.25, p_bc=0.0,
     p_scale=0.25, scale_max=2.0,
     dropout_oneof=True, pixel_drop_max=0.05,
-    holes=int(0.00125 * 224 * 224), hole_size=4,
+    holes_frac=0.00125, hole_size=4,  # ⌊holes_frac·H·W⌋ holes, from img size
     color_oneof=True, noise_lo=0.9, noise_hi=1.1,
     hsv_limits=(10.0, 10.0, 0.0),
 )

@@ -69,10 +69,17 @@ class HFSentenceTower(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, *, deterministic: bool = True):
-        hf_params = self.param(
-            "hf",
-            lambda rng: self.hf_module.params,
-        )
+        def _init_hf(rng):
+            if getattr(self.hf_module, "skinjax_pretrained", True):
+                # pretrained weights ARE the init (like an importer) — the
+                # rng is deliberately unused
+                return self.hf_module.params
+            # random-init fallback: honor the linen RNG so a fresh seed
+            # draws fresh weights instead of silently repeating the wrapped
+            # instance's init
+            return self.hf_module.init_weights(rng, (1, 8))
+
+        hf_params = self.param("hf", _init_hf)
         # HF Flax wrappers are standalone models, not nested linen submodules:
         # they take params and dropout rng explicitly.
         dropout_rng = None if deterministic else self.make_rng("dropout")

@@ -234,6 +234,12 @@ class PopulationTrainer:
         wloss = weighted_loss(cfg.loss, cfg.focal_gamma)
         cw = jnp.asarray(self.class_weights)
         dtype = self._dtype()
+        # dropout keys derived from the CONFIG (like init keys above), not
+        # the candidate's position in the bucket — re-sampled configs draw
+        # the same dropout stream at equal envelopes (bucket-POSITION
+        # independent; envelope width still shapes the draws, see
+        # make_population_evaluator)
+        cfg_keys = jnp.asarray([_config_key(c) for c in configs], jnp.uint32)
 
         @partial(jax.jit, donate_argnums=(0,))
         def pop_step(state, image_u8, metadata, label, rng):
@@ -257,7 +263,9 @@ class PopulationTrainer:
                 updates, new_opt = tx.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), new_opt, loss
 
-            keys = jax.random.split(drop_rng, K)
+            keys = jax.vmap(lambda h: jax.random.fold_in(drop_rng, h))(
+                cfg_keys
+            )
             new_params, new_opt, losses = jax.vmap(one)(
                 state.params, state.opt_state, masks, keys
             )

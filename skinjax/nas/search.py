@@ -75,10 +75,14 @@ def run_nas(
     ONE vmapped supernet program (nas/population.py) — the TPU-idiomatic
     across-candidate parallelism the reference's one-model-per-step loop
     cannot express. ``memoize`` caches rewards by exact config: the trainer
-    is deterministic per (config, seed), so a re-sampled config (routine as
-    a REINFORCE controller converges) costs nothing instead of a full
-    training run — identical search semantics, the reference would retrain
-    (nas/optimization_train_process_pad_20.py:308-337).
+    is deterministic per (config, seed) — init and dropout keys derive from
+    the config itself, not bucket position — so a re-sampled config (routine
+    as a REINFORCE controller converges) costs nothing instead of a full
+    training run where the reference retrains
+    (nas/optimization_train_process_pad_20.py:308-337). Caveat: population
+    and sequential rewards use different early-stop policies (population.py
+    module docstring), so a memo warm-started across modes can shift a
+    candidate's reward to the full-epochs value.
     """
     space = search_space or DEFAULT_SEARCH_SPACE
     train_cfg = train_cfg or TrainConfig(
@@ -117,8 +121,9 @@ def run_nas(
     best_reward = -float("inf")
     log: List[Dict] = []
     # deterministic trainer + fixed seed => a re-sampled config re-earns the
-    # SAME reward, so caching is semantics-preserving (unlike the reference,
-    # which retrains converged controllers' repeats at full price)
+    # same reward WITHIN a mode (population dropout/init keys derive from the
+    # config, not bucket position), so caching is semantics-preserving there;
+    # across population/sequential modes rewards differ by early-stop policy
     memo: Dict[Tuple, float] = {}
     cfg_key = lambda c: tuple(sorted((k, str(v)) for k, v in c.items()))
 

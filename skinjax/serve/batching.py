@@ -31,7 +31,7 @@ from skinjax.serve.engine import InferenceEngine, preprocess_image_u8
 
 
 class _Pending:
-    __slots__ = ("image", "feats", "event", "probs", "error")
+    __slots__ = ("image", "feats", "event", "probs", "error", "abandoned")
 
     def __init__(self, image: np.ndarray, feats: np.ndarray):
         # accept unbatched (H, W, 3)/(F,) — a bare-rank request would
@@ -47,6 +47,11 @@ class _Pending:
         self.event = threading.Event()
         self.probs: Optional[np.ndarray] = None
         self.error: Optional[Exception] = None
+        # set by the caller when it gives up waiting (timeout): the worker
+        # drops abandoned entries instead of spending a TPU forward on a
+        # request nobody is waiting for — which would amplify load exactly
+        # when the engine is already backed up
+        self.abandoned = False
 
 
 def _bucket(n: int, max_batch: int) -> int:
@@ -90,6 +95,10 @@ class BatchingEngine:
         # uint8 through the queue: normalization happens on-device, so each
         # request ships 4× fewer bytes to the (possibly tunneled) chip
         image = preprocess_image_u8(image_u8)
+        if self.engine.featurizer is None:
+            # mirror InferenceEngine.predict's guard — without it the private
+            # _featurize_csv_line call fails with an unclear deep error
+            raise ValueError("predict() on raw inputs requires a featurizer")
         feats = self.engine._featurize_csv_line(metadata_csv_line)
         probs = self.predict_probs_queued(image, feats)[0]
         idx = int(probs.argmax())
@@ -123,6 +132,7 @@ class BatchingEngine:
                 self._direct.release()
         self._q.put(p)
         if not p.event.wait(self.timeout_s):
+            p.abandoned = True
             raise TimeoutError("batched inference timed out")
         if p.error is not None:
             raise p.error
@@ -162,6 +172,9 @@ class BatchingEngine:
             # already completed (and vice versa).
             subgroups: Dict[bool, List[_Pending]] = {}
             for p in group:
+                if p.abandoned:  # caller already timed out — skip, don't run
+                    p.event.set()
+                    continue
                 subgroups.setdefault(p.image.dtype == np.uint8, []).append(p)
             for sub in subgroups.values():
                 try:

@@ -1,6 +1,12 @@
 """XAI suite: CAM family, metadata perturbation analyses, tabular explainers."""
 
-from skinjax.xai.cam import grad_cam, grad_cam_pp, overlay_heatmap, score_cam
+from skinjax.xai.cam import (
+    cam_methods_comparison,
+    grad_cam,
+    grad_cam_pp,
+    overlay_heatmap,
+    score_cam,
+)
 from skinjax.xai.perturbation import (
     Mutation,
     default_pad20_mutations,
@@ -17,6 +23,7 @@ from skinjax.xai.tabular import (kernel_shap, lime_tabular,
     lime_tabular_categorical, permutation_importance)
 
 __all__ = [
+    "cam_methods_comparison",
     "grad_cam",
     "grad_cam_pp",
     "overlay_heatmap",

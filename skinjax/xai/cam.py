@@ -140,6 +140,64 @@ def score_cam(
     return _normalize_and_resize(cam, out_hw)
 
 
+def cam_methods_comparison(
+    model,
+    variables,
+    image,
+    metadata,
+    class_idx,
+    path: str,
+    image_u8=None,
+    score_cam_top_k: Optional[int] = None,
+    alpha: float = 0.4,
+):
+    """Side-by-side Original / Score-CAM / Grad-CAM / Grad-CAM++ panel
+    (cam_methods_comparison.py:20-45: 1×4 figure, jet overlays at α=0.4).
+
+    ``image`` is the preprocessed batch the model consumes; ``image_u8`` the
+    display image(s) (defaults to min-max-rescaled ``image``). One panel per
+    sample: ``path`` gets a ``_i`` suffix for batches >1. Returns the list of
+    written paths."""
+    import numpy as np
+
+    cams = {
+        "ScoreCAM": score_cam(model, variables, image, metadata, class_idx,
+                              top_k=score_cam_top_k),
+        "GradCAM": grad_cam(model, variables, image, metadata, class_idx),
+        "GradCAM++": grad_cam_pp(model, variables, image, metadata, class_idx),
+    }
+    if image_u8 is None:
+        img = np.asarray(image, np.float32)
+        lo, hi = img.min(), img.max()
+        disp = (img - lo) / max(hi - lo, 1e-8)
+    else:
+        disp = np.asarray(image_u8).astype(np.float32) / 255.0
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    B = image.shape[0]
+    written = []
+    for i in range(B):
+        fig, axes = plt.subplots(1, 4, figsize=(18, 6))
+        axes[0].imshow(disp[i])
+        axes[0].set_title("Original Image")
+        for ax, (name, cam) in zip(axes[1:], cams.items()):
+            ax.imshow(disp[i])
+            ax.imshow(np.asarray(cam[i]), cmap="jet", alpha=alpha)
+            ax.set_title(f"Image with {name}")
+        for ax in axes:
+            ax.axis("off")
+        fig.tight_layout()
+        out = path if B == 1 else path.replace(".png", f"_{i}.png")
+        fig.savefig(out)
+        plt.close(fig)
+        written.append(out)
+    return written
+
+
 def overlay_heatmap(image_u8, cam, alpha: float = 0.4):
     """RGB overlay for demo/serving (models/cam.py:52-62 analogue)."""
     import numpy as np

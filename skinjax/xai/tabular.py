@@ -106,8 +106,13 @@ def lime_tabular_categorical(
     kw = kernel_width if kernel_width is not None else np.sqrt(F) * 0.75
     w = np.exp(-(d**2) / (kw**2))
 
-    Xc = X_int - X_int.mean(axis=0)
-    yc = y - y.mean()
+    # center with the kernel-WEIGHTED means: with non-uniform proximity
+    # weights the unweighted mean mis-handles the intercept of the ridge fit
+    # (weighted least squares absorbs the intercept only when X/y are
+    # weighted-centered)
+    wsum = max(w.sum(), 1e-12)
+    Xc = X_int - (w[:, None] * X_int).sum(axis=0) / wsum
+    yc = y - (w * y).sum() / wsum
     A = Xc.T @ (w[:, None] * Xc) + 1e-3 * np.eye(F)
     b = Xc.T @ (w * yc)
     return np.linalg.solve(A, b)

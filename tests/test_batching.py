@@ -75,6 +75,48 @@ def test_error_fans_out_not_hangs(batcher):
         bad.shutdown()
 
 
+def test_timed_out_request_is_skipped_by_worker(batcher):
+    """A request whose caller already timed out must not cost a forward
+    (advisor r2: abandoned _Pendings were batched anyway, amplifying load
+    exactly when the engine is backed up)."""
+    import time
+
+    from skinjax.serve.batching import _Pending
+
+    eng = BatchingEngine(batcher.engine, max_batch=4, max_wait_ms=5.0,
+                         timeout_s=0.05)
+    orig = eng.engine.predict_probs
+    try:
+        calls = []
+        release = threading.Event()
+
+        def slow_predict(im, ft):
+            calls.append(im.shape[0])
+            release.wait(2.0)
+            return orig(im, ft)
+
+        eng.engine.predict_probs = slow_predict
+        # park the worker on a slow batch so the next enqueue times out
+        p_block = _Pending(np.zeros((1, 32, 32, 3), np.float32),
+                           np.zeros((1, 7), np.float32))
+        eng._q.put(p_block)  # worker picks this up and blocks in the fwd
+        time.sleep(0.1)
+        with eng._direct:  # disable the caller-thread fast path
+            with pytest.raises(TimeoutError):
+                eng.predict_probs_queued(
+                    np.zeros((1, 32, 32, 3), np.float32),
+                    np.zeros((1, 7), np.float32))
+        release.set()
+        assert p_block.event.wait(3.0)
+        time.sleep(0.3)  # let the worker drain the abandoned entry
+        # only the blocking request ran a forward; the abandoned one was
+        # dropped by the worker, not executed
+        assert calls == [1]
+    finally:
+        eng.engine.predict_probs = orig
+        eng.shutdown()
+
+
 def test_http_api_with_batching(batcher):
     """The HTTP handler works unchanged over a BatchingEngine."""
     import json

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from skinjax.data.featurizer import MetadataFeaturizer
 from skinjax.models import MultimodalModel
 from skinjax.xai import (
+    cam_methods_comparison,
     default_pad20_mutations,
     faithfulness_degradation_score,
     grad_cam,
@@ -63,6 +64,19 @@ def test_score_cam_shape(cam_setup):
     cam = score_cam(model, variables, img, meta, cls, top_k=8, batch_channels=4)
     assert cam.shape == (B, HW, HW)
     assert np.isfinite(np.asarray(cam)).all()
+
+
+def test_cam_methods_comparison_panel(cam_setup, tmp_path):
+    """Side-by-side original/ScoreCAM/GradCAM/GradCAM++ figure
+    (cam_methods_comparison.py:20-45): one 1×4 PNG per sample."""
+    model, variables, img, meta, cls = cam_setup
+    out = str(tmp_path / "cams.png")
+    written = cam_methods_comparison(
+        model, variables, img, meta, cls, out, score_cam_top_k=8
+    )
+    assert len(written) == B
+    for p in written:
+        assert (tmp_path / p.split("/")[-1]).stat().st_size > 0
 
 
 def _toy_prepared(n=40, seed=0):
