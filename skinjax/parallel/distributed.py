@@ -22,10 +22,12 @@ from skinjax.train.steps import TrainState
 
 
 def distribute_state(
-    mesh: Mesh, state: TrainState, min_tp_dim: int = 1024, min_tp_conv: int = 0
+    mesh: Mesh, state: TrainState, min_tp_dim: int = 1024, min_tp_conv: int = 0,
+    tp_attn: bool = False,
 ) -> TrainState:
     def put_tree(tree):
-        rules = param_sharding_rules(mesh, tree, min_tp_dim, min_tp_conv)
+        rules = param_sharding_rules(mesh, tree, min_tp_dim, min_tp_conv,
+                                     tp_attn)
         return jax.tree_util.tree_map(jax.device_put, tree, rules)
 
     return TrainState(

@@ -52,8 +52,31 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+# Megatron-style column/row-parallel pairs for transformer blocks, keyed on
+# the param path tail (module naming is uniform across the timm-layout
+# backbones: attention qkv/proj, MLP fc1/fc2). Column-parallel layers shard
+# the OUTPUT dim (and their bias); the row-parallel partner shards the INPUT
+# dim so the pair needs exactly one psum between them (GSPMD inserts it).
+_ATTN_COL = ("attn/qkv/kernel", "mlp/fc1/kernel")
+_ATTN_COL_BIAS = ("attn/qkv/bias", "mlp/fc1/bias")
+_ATTN_ROW = ("attn/proj/kernel", "mlp/fc2/kernel")
+# depthwise position-encoding convs (DaViT ConvPosEnc): channel-parallel by
+# nature — sharding them over cout keeps the activations channel-sharded
+# through the block. Leaving them replicated amid model-sharded activations
+# trips a GSPMD grouped-conv backward miscount (observed: exactly-2x weight
+# grads on a 2-way model axis).
+_ATTN_DW = ("cpe1/proj/kernel", "cpe2/proj/kernel")
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+    )
+
+
 def param_sharding_rules(
-    mesh: Mesh, params, min_tp_dim: int = 1024, min_tp_conv: int = 0
+    mesh: Mesh, params, min_tp_dim: int = 1024, min_tp_conv: int = 0,
+    tp_attn: bool = False,
 ):
     """Assign a NamedSharding to every param leaf.
 
@@ -70,11 +93,36 @@ def param_sharding_rules(
     collectives ride the convolutions' cin contractions. 0 (default)
     replicates convs — the right default when activations dominate (224²
     inputs, small models) and DP alone saturates.
+
+    ``tp_attn`` additionally applies Megatron column/row-parallel pairs to
+    transformer attention/MLP kernels by path (``attn/qkv`` + ``mlp/fc1``
+    output-split, ``attn/proj`` + ``mlp/fc2`` input-split) regardless of
+    ``min_tp_dim`` — the model axis then splits every block of the
+    davit/swin/vit families, with one activation psum per pair. The fused
+    qkv output dim is a feature-dim split ([q|k|v][h][hd] unit order): for
+    n_model not dividing each of q/k/v's head blocks GSPMD inserts the
+    resharding collectives, so numerics stay exact for any divisor.
     """
     n_model = mesh.shape["model"]
 
     def rule(path, leaf):
         if n_model > 1 and hasattr(leaf, "ndim"):
+            p = _path_str(path) if tp_attn else ""
+            if tp_attn and leaf.ndim == 2:
+                if (p.endswith(_ATTN_COL)
+                        and leaf.shape[1] % n_model == 0):
+                    return NamedSharding(mesh, P(None, "model"))
+                if (p.endswith(_ATTN_ROW)
+                        and leaf.shape[0] % n_model == 0):
+                    return NamedSharding(mesh, P("model", None))
+            if (tp_attn and leaf.ndim == 1
+                    and p.endswith(_ATTN_COL_BIAS)
+                    and leaf.shape[0] % n_model == 0):
+                return NamedSharding(mesh, P("model"))
+            if (tp_attn and leaf.ndim == 4
+                    and p.endswith(_ATTN_DW)
+                    and leaf.shape[3] % n_model == 0):
+                return NamedSharding(mesh, P(None, None, None, "model"))
             if leaf.ndim == 2:
                 in_dim, out_dim = leaf.shape
                 if out_dim >= min_tp_dim and out_dim % n_model == 0:
@@ -90,7 +138,9 @@ def param_sharding_rules(
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_params(mesh: Mesh, params, min_tp_dim: int = 1024, min_tp_conv: int = 0):
+def shard_params(mesh: Mesh, params, min_tp_dim: int = 1024, min_tp_conv: int = 0,
+                 tp_attn: bool = False):
     """Device-put params according to param_sharding_rules."""
-    shardings = param_sharding_rules(mesh, params, min_tp_dim, min_tp_conv)
+    shardings = param_sharding_rules(mesh, params, min_tp_dim, min_tp_conv,
+                                     tp_attn)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

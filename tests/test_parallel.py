@@ -155,3 +155,65 @@ def test_conv_channel_tp_matches_single_device():
     b = jax.tree_util.tree_leaves(jax.device_get(s2.params))
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+def test_transformer_tp_attn_matches_single_device():
+    """Megatron-pair TP over a DaViT's qkv/proj/fc1/fc2 kernels (tp_attn):
+    the model axis splits every transformer block and a dp4xtp2 train step
+    reproduces single-device numerics (VERDICT r2 #6 — the model axis was
+    CNN-only)."""
+    import optax
+    from flax import linen as nn
+
+    from skinjax.models.backbones.davit import DaViT
+    from skinjax.parallel.mesh import shard_params
+
+    class Clf(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            f = DaViT(dims=(16, 32, 64, 128), depths=(1, 1, 1, 1),
+                      heads=(2, 2, 4, 8), window=2, name="bb")(x)
+            return nn.Dense(4, name="head")(f)
+
+    model = Clf()
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(8, 64, 64, 3)), jnp.float32)
+    lbl = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+    params = model.init(jax.random.key(0), img)["params"]
+    # SGD: updates stay proportional to grads, so cross-sharding float
+    # noise cannot flip an (Adam-normalized) update's sign
+    tx = optax.sgd(1e-2)
+    opt0 = tx.init(params)
+
+    def step(p, o, im, lb):
+        def loss_of(p):
+            logits = model.apply({"params": p}, im).astype(jnp.float32)
+            return jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(lb.shape[0]), lb]
+            )
+
+        loss, g = jax.value_and_grad(loss_of)(p)
+        up, o2 = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o2, loss
+
+    p1, _, loss1 = jax.jit(step)(params, opt0, img, lbl)
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    dparams = shard_params(mesh, params, tp_attn=True)
+    dopt = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l), tx.init(dparams))
+    # every stage's attention + MLP must be on the model axis: 4 stages x
+    # (spatial + channel) x (qkv, proj, fc1, fc2) = 32 sharded 2-D kernels
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(dparams)
+        if leaf.ndim == 2 and "model" in str(leaf.sharding.spec)
+    )
+    assert n_sharded == 32, n_sharded
+    sh_img = jax.device_put(
+        img, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    )
+    p2, _, loss2 = jax.jit(step)(dparams, dopt, sh_img, lbl)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
