@@ -106,6 +106,32 @@ class DaViTWindowAttention(nn.Module):
         return nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(nB, N, C))
 
 
+class DaViTWindowAttentionNHWC(nn.Module):
+    """Window MHA on the NHWC map through the strip-blocked Pallas kernel
+    (ops/pallas/window_attention.py window_attention_nhwc): window partition,
+    the 49->64 pad, and window reverse are folded into the kernel's block
+    index maps + in-VMEM assembly — the XLA-visible op does ONE HBM read of
+    x and one write of y. Param tree identical to DaViTWindowAttention."""
+
+    dim: int
+    num_heads: int
+    window: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from skinjax.ops.pallas.window_attention import window_attention_nhwc
+
+        C = x.shape[-1]
+        dt = self.dtype or x.dtype
+        wqkv, bqkv = DenseParams(3 * C, name="qkv")(C)
+        wproj, bproj = DenseParams(C, name="proj")(C)
+        return window_attention_nhwc(
+            x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
+            wproj.astype(dt), bproj.astype(dt), self.num_heads, self.window,
+        )
+
+
 class DaViTChannelAttention(nn.Module):
     """timm davit ChannelAttention: scaled keys, (hd×hd) token-aggregated
     attention, output re-expanded through the queries."""
@@ -132,6 +158,31 @@ class DaViTChannelAttention(nn.Module):
         # out[n,c] = sum_d attn[c,d] q[n,d]         (timm: (attn @ q^T)^T)
         out = jnp.einsum("bhcd,bnhd->bnhc", attn, q)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(B, N, C))
+
+
+class DaViTChannelAttentionFused(nn.Module):
+    """Channel MHA through the fused Pallas kernel
+    (ops/pallas/channel_attention.py): qkv, per-head hd×hd scores, softmax,
+    re-expansion, head merge and projection in one VMEM-resident kernel —
+    no (B,h,N,hd) relayouts, no f32 score round-trip through HBM. Param
+    tree identical to DaViTChannelAttention."""
+
+    dim: int
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from skinjax.ops.pallas.channel_attention import channel_attention
+
+        C = x.shape[-1]
+        dt = self.dtype or x.dtype
+        wqkv, bqkv = DenseParams(3 * C, name="qkv")(C)
+        wproj, bproj = DenseParams(C, name="proj")(C)
+        return channel_attention(
+            x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
+            wproj.astype(dt), bproj.astype(dt), self.num_heads,
+        )
 
 
 class DaViTMlp(nn.Module):
@@ -197,13 +248,19 @@ class SpatialBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     fused_attn: bool = False
     einsum_attn: bool = False
+    strip_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe1")(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        if self.einsum_attn and not self.fused_attn:
+        if self.strip_attn and H % self.window == 0 and W % self.window == 0:
+            # strip-blocked NHWC kernel: no partition/pad/reverse ops at all
+            y = DaViTWindowAttentionNHWC(
+                self.dim, self.num_heads, self.window, dtype=self.dtype,
+                name="attn")(y)
+        elif self.einsum_attn and not self.fused_attn:
             y = DaViTWindowAttentionEinsum(
                 self.dim, self.num_heads, self.window, dtype=self.dtype,
                 name="attn")(y)
@@ -223,6 +280,7 @@ class ChannelBlock(nn.Module):
     dim: int
     num_heads: int
     dtype: Optional[jnp.dtype] = None
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -230,8 +288,10 @@ class ChannelBlock(nn.Module):
         x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe1")(x)
         t = x.reshape(B, H * W, C)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(t)
-        y = DaViTChannelAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                  name="attn")(y)
+        attn_cls = (DaViTChannelAttentionFused if self.fused_attn
+                    else DaViTChannelAttention)
+        y = attn_cls(self.dim, self.num_heads, dtype=self.dtype,
+                     name="attn")(y)
         x = (t + y).reshape(B, H, W, C)
         x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe2")(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
@@ -262,10 +322,19 @@ class DaViT(nn.Module):
     window: int = 7
     dtype: Optional[jnp.dtype] = None
     # Pallas fused window attention (ops/pallas/window_attention.py);
-    # default from SKINJAX_WINATTN=pallas (read at import time).
-    # SKINJAX_WINATTN=einsum: 6-D einsum windows (no partition transposes).
-    fused_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
+    # default from SKINJAX_WINATTN (read at import time):
+    #   pallas     -> strip-blocked NHWC kernel (partition/pad/reverse folded
+    #                 into kernel index maps) where H,W divide the window,
+    #                 padded-window kernel elsewhere
+    #   pallas-pad -> padded-window kernel everywhere (A/B control)
+    #   einsum     -> 6-D einsum windows (no partition transposes)
+    fused_attn: bool = os.environ.get(
+        "SKINJAX_WINATTN", "") in ("pallas", "pallas-pad")
     einsum_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "einsum"
+    strip_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
+    # SKINJAX_CHATTN=pallas: fused channel-attention kernel
+    # (ops/pallas/channel_attention.py) — separate knob for clean A/Bs
+    ch_fused_attn: bool = os.environ.get("SKINJAX_CHATTN", "") == "pallas"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, features: bool = False,
@@ -280,8 +349,10 @@ class DaViT(nn.Module):
                 x = SpatialBlock(dim, h, self.window, dtype=self.dtype,
                                  fused_attn=self.fused_attn,
                                  einsum_attn=self.einsum_attn,
+                                 strip_attn=self.strip_attn,
                                  name=f"stage{si}_block{bi}_spatial")(x)
                 x = ChannelBlock(dim, h, dtype=self.dtype,
+                                 fused_attn=self.ch_fused_attn,
                                  name=f"stage{si}_block{bi}_channel")(x)
         # CAM support (xai/cam.py): perturb/capture the final spatial map
         # while the pooled head still flows from it, so jax.grad of a class

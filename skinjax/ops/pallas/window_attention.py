@@ -72,9 +72,9 @@ def _fwd_window_bytes(Np: int, C: int, itemsize: int) -> int:
 
 
 def _bwd_window_bytes(Np: int, CG: int, itemsize: int) -> int:
-    """Per-window VMEM estimate for the backward core: 7 channel-group
-    blocks (q/k/v/do/dq/dk/dv) plus f32 s/p/dp/ds transients."""
-    return Np * (7 * CG * itemsize + 8 * CG + 16 * Np)
+    """Per-window VMEM estimate for the backward core: 8 channel-group
+    blocks (q/k/v/do/dq/dk/dv/of) plus f32 s/p/dp/ds transients."""
+    return Np * (8 * CG * itemsize + 8 * CG + 16 * Np)
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +110,7 @@ def window_attention_reference(x, wqkv, bqkv, wproj, bproj, num_heads,
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
-                mask_ref, y_ref, of_ref, *, h: int, n_win: int,
+                mask_ref, y_ref, *, h: int, n_win: int,
                 has_bias: bool, has_mask: bool, n_real: int):
     WINB, N, C = x_ref.shape
     hd = C // h
@@ -149,9 +149,10 @@ def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             preferred_element_type=jnp.float32,
         ))  # (WINB, N, hd)
 
+    # of is NOT written to HBM: the backward core recomputes softmax anyway
+    # and emits it there (saves a padded-activation write + read per block)
     of = jnp.concatenate(outs, axis=-1).astype(x_ref.dtype).reshape(
         WINB * N, C)
-    of_ref[:] = of.reshape(WINB, N, C)  # residual for the split backward
     y = (
         jnp.dot(of, wproj_ref[:], preferred_element_type=jnp.float32)
         + bproj_ref[:].astype(jnp.float32)
@@ -168,8 +169,8 @@ def _pad_n(t, Np, axes):
 
 
 def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int):
-    """Returns (y, of) — of is the pre-projection attention output, saved as
-    the residual that lets the backward skip recomputing the full forward."""
+    """Returns y. No activation residual is saved — the backward recomputes
+    qkv (one matmul) and softmax/of (inside its core kernel)."""
     nB, N, C = x.shape
     has_bias = bias is not None
     has_mask = mask is not None
@@ -194,7 +195,7 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int):
     rep3 = lambda i: (0, 0, 0)
     blk = pl.BlockSpec((WINB, N_in, C), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    y, of = pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -212,14 +213,11 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int):
              if has_mask and WINB < n_win else
              pl.BlockSpec(mask_in.shape, rep3, memory_space=pltpu.VMEM)),
         ],
-        out_specs=[blk, blk],
-        out_shape=[
-            jax.ShapeDtypeStruct((nB, N_in, C), x.dtype),
-            jax.ShapeDtypeStruct((nB, N_in, C), x.dtype),
-        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((nB, N_in, C), x.dtype),
         interpret=_interpret(),
     )(x_in, wqkv, bqkv, wproj, bproj, bias_in, mask_in)
-    return y[:, :N, :], of[:, :N, :]
+    return y[:, :N, :]
 
 
 # ---------------------------------------------------------------------------
@@ -237,12 +235,13 @@ def _heads_per_group(h: int, hd: int) -> int:
 
 
 def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
-                     dq_ref, dk_ref, dv_ref, dbias_ref, *, hg: int,
+                     dq_ref, dk_ref, dv_ref, of_ref, dbias_ref, *, hg: int,
                      n_win: int, has_bias: bool, has_mask: bool,
                      n_real: int, scale: float):
     """Attention-core backward for one (head-group, window-block) grid cell:
-    recompute scores/softmax, emit dq/dk/dv (+dbias accumulated over the
-    inner window-block grid dim)."""
+    recompute scores/softmax, emit dq/dk/dv and of = p·v (the pre-projection
+    forward output, recomputed here instead of stored by the forward —
+    +dbias accumulated over the inner window-block grid dim)."""
     WINB, N, CG = q_ref.shape
     hd = CG // hg
     col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
@@ -277,6 +276,11 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
             s = s + m
         p = jax.nn.softmax(s, axis=-1)  # f32 for exact softmax bwd
         pb = p.astype(q_ref.dtype)
+        # of = p @ v (recomputed forward output, feeds dwproj in _bwd_call)
+        of_ref[..., sl] = jax.lax.dot_general(
+            pb, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(of_ref.dtype)
         # dv = p^T @ do_h
         dv_ref[..., sl] = jax.lax.dot_general(
             pb, do_h, (((1,), (1,)), ((0,), (0,))),
@@ -304,7 +308,8 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
 def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
               has_bias: bool, has_mask: bool, n_win: int):
     """q/k/v/do: (nB, N, C) head-major channel layout. Returns
-    (dq, dk, dv, dbias) with dq/dk/dv in q.dtype and dbias f32 (h, N, N)."""
+    (dq, dk, dv, of, dbias) with dq/dk/dv/of in q.dtype and dbias f32
+    (h, N, N)."""
     nB, N, C = q.shape
     hd = C // num_heads
     hg = _heads_per_group(num_heads, hd)
@@ -345,12 +350,13 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
     else:
         mask_blk = pl.BlockSpec(mask_in.shape, lambda g, i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
-    dq, dk, dv, dbias = pl.pallas_call(
+    dq, dk, dv, of, dbias = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk, blk, blk, blk, bias_blk, mask_blk],
-        out_specs=[blk, blk, blk, bias_blk],
+        out_specs=[blk, blk, blk, blk, bias_blk],
         out_shape=[
+            jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
             jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
             jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
             jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
@@ -358,22 +364,20 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
         ],
         interpret=_interpret(),
     )(q, k, v, do, bias_in, mask_in)
-    return (dq[:, :N, :], dk[:, :N, :], dv[:, :N, :],
+    return (dq[:, :N, :], dk[:, :N, :], dv[:, :N, :], of[:, :N, :],
             dbias[:, :N, :N] if has_bias else None)
 
 
-def _bwd_call(x, wqkv, bqkv, wproj, bias_in, mask_in, of, dy, *,
+def _bwd_call(x, wqkv, bqkv, wproj, bias_in, mask_in, dy, *,
               num_heads: int, has_bias: bool, has_mask: bool, n_win: int):
     """Split backward: XLA matmuls for projections/weight grads, Pallas for
-    the attention core. All tensors unpadded (nB, N, C)."""
+    the attention core (which also recomputes of = p·v for the projection
+    weight grad). All tensors unpadded (nB, N, C)."""
     nB, N, C = x.shape
     f32 = jnp.float32
     xf = x.reshape(nB * N, C)
     dyf = dy.reshape(nB * N, C)
-    off = of.reshape(nB * N, C)
 
-    # output projection grads (plain MXU matmuls)
-    dwproj = jnp.dot(off.T, dyf, preferred_element_type=f32)
     dbproj = jnp.sum(dyf.astype(f32), axis=0)
     do = jnp.dot(dyf, wproj.astype(dy.dtype).T,
                  preferred_element_type=f32).astype(dy.dtype).reshape(
@@ -384,10 +388,12 @@ def _bwd_call(x, wqkv, bqkv, wproj, bias_in, mask_in, of, dy, *,
            + bqkv.astype(f32)).astype(x.dtype).reshape(nB, N, 3 * C)
     q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
 
-    dq, dk, dv, dbias = _bwd_core(
+    dq, dk, dv, of, dbias = _bwd_core(
         q, k, v, do, bias_in, mask_in, num_heads=num_heads,
         has_bias=has_bias, has_mask=has_mask, n_win=n_win,
     )
+    dwproj = jnp.dot(of.reshape(nB * N, C).T, dyf,
+                     preferred_element_type=f32)
 
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1).reshape(nB * N, 3 * C)
     dwqkv = jnp.dot(xf.T, dqkv, preferred_element_type=f32)
@@ -406,23 +412,22 @@ def _bwd_call(x, wqkv, bqkv, wproj, bias_in, mask_in, of, dy, *,
 def window_attention(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads):
     """Fused window MHA. x (nB, N, C); bias (h, N, N) or None;
     mask (nW, N, N) or None. Differentiable in x/weights/bias."""
-    y, _ = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads=num_heads)
-    return y
+    return _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                num_heads=num_heads)
 
 
 def _wa_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads):
-    y, of = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
-                 num_heads=num_heads)
-    return y, (x, wqkv, bqkv, wproj, bproj, bias, mask, of)
+    y = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads=num_heads)
+    return y, (x, wqkv, bqkv, wproj, bias, mask)
 
 
 def _wa_bwd(num_heads, res, dy):
-    x, wqkv, bqkv, wproj, bproj, bias, mask, of = res
+    x, wqkv, bqkv, wproj, bias, mask = res
     has_bias = bias is not None
     has_mask = mask is not None
     n_win = mask.shape[0] if has_mask else 1
     dx, dwqkv, dbqkv, dwproj, dbproj, dbias = _bwd_call(
-        x, wqkv, bqkv, wproj, bias, mask, of, dy,
+        x, wqkv, bqkv, wproj, bias, mask, dy,
         num_heads=num_heads, has_bias=has_bias, has_mask=has_mask,
         n_win=n_win,
     )
@@ -431,10 +436,316 @@ def _wa_bwd(num_heads, res, dy):
         dwqkv.astype(wqkv.dtype),
         dbqkv.astype(bqkv.dtype),
         dwproj.astype(wproj.dtype),
-        dbproj.astype(bproj.dtype),
+        dbproj.astype(wproj.dtype),
         dbias.astype(bias.dtype) if has_bias else None,
         None,
     )
 
 
 window_attention.defvjp(_wa_fwd, _wa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# strip-blocked NHWC entry: partition/pad/reverse folded into the kernel
+# ---------------------------------------------------------------------------
+#
+# The padded-window entry above still pays, per spatial block, the XLA
+# window-partition transpose, the 49->64 HBM pad, the output slice, and the
+# window-reverse transpose — measured together at ~22% of the davit_tiny
+# step (docs/DESIGN.md §5b). This entry removes ALL of them: the kernel
+# reads the NHWC map directly through the free 6-D view
+# (B, nH, w, nW, w, C) and assembles windows IN VMEM.
+#
+# Mosaic cannot shape-cast across a w=7-sublane dim (the reason the padded
+# entry pads to 64 in HBM), so the in-kernel assembly never reshapes across
+# it: each window row is copied as an aligned (w, C) plane into a flat
+# (windows*Np, C) scratch at stride wr = roundup(w, 8) — token t = r*wr + c,
+# i.e. an INTERLEAVED padding layout (columns c >= w of each row are dead)
+# whose every store offset is 8-aligned. Np = w*wr (56 for w=7, vs 64 for
+# tail padding). The attention math is then identical to the padded entry
+# with the key mask (t % wr < w).
+
+def _strip_rows(nW: int, Np: int, C: int, itemsize: int, h: int) -> int:
+    """Per-strip VMEM bytes estimate: x/y blocks + xp scratch + qkv (f32
+    intermediate + cast) + one f32 score/prob pair + f32 out accumulation."""
+    toks = nW * Np
+    return (2 * toks * C * itemsize          # x, y blocks (w*w <= Np)
+            + toks * C * itemsize            # xp scratch
+            + toks * 3 * C * (4 + itemsize)  # qkv f32 + cast
+            + 2 * nW * Np * Np * 4           # s, p (one head live)
+            + toks * C * (4 + itemsize))     # outs f32 + y cast
+
+
+def _pick_sb(B: int, nW: int, Np: int, C: int, itemsize: int, h: int) -> int:
+    """Batch rows per grid cell: grow SB (divisor of B) until the matmul has
+    >= 512 token rows or the VMEM budget is hit."""
+    per = _strip_rows(nW, Np, C, itemsize, h)
+    sb = 1
+    while (sb * 2 <= B and B % (sb * 2) == 0
+           and (sb * 2) * per <= _VMEM_BUDGET
+           and sb * nW * Np < 512):
+        sb *= 2
+    return sb
+
+
+def _strip_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                      y_ref, xp_ref, *, h: int, w: int, wr: int):
+    SB, _, _, nW, _, C = x_ref.shape
+    hd = C // h
+    Np = w * wr
+    NW = SB * nW
+    scale = hd ** -0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+    keypad = jnp.where(col % wr < w, 0.0, -1e9).astype(jnp.float32)
+
+    # assemble windows: zero the scratch (dead columns must not be NaN),
+    # then copy each window row as an aligned (w, C) plane
+    xp_ref[:] = jnp.zeros_like(xp_ref)
+    for bb in range(SB):
+        for j in range(nW):
+            base = (bb * nW + j) * Np
+            for r in range(w):
+                xp_ref[base + r * wr: base + r * wr + w, :] = x_ref[bb, 0, r, j]
+
+    qkv = (
+        jnp.dot(xp_ref[:], wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype).reshape(NW, Np, 3 * C)
+
+    outs = []
+    for hi in range(h):
+        q = qkv[..., hi * hd:(hi + 1) * hd]
+        k = qkv[..., C + hi * hd:C + (hi + 1) * hd]
+        v = qkv[..., 2 * C + hi * hd:2 * C + (hi + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + keypad[None]
+        p = jax.nn.softmax(s, axis=-1).astype(x_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    of = jnp.concatenate(outs, axis=-1).astype(x_ref.dtype).reshape(
+        NW * Np, C)
+    y = (
+        jnp.dot(of, wproj_ref[:], preferred_element_type=jnp.float32)
+        + bproj_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype).reshape(NW, Np, C)
+    for bb in range(SB):
+        for j in range(nW):
+            for r in range(w):
+                y_ref[bb, 0, r, j] = y[bb * nW + j, r * wr:r * wr + w, :]
+
+
+def _strip_fwd(x, wqkv, bqkv, wproj, bproj, *, num_heads: int, window: int):
+    B, H, W, C = x.shape
+    w = window
+    nH, nW = H // w, W // w
+    wr = -(-w // 8) * 8
+    Np = w * wr
+    SB = _pick_sb(B, nW, Np, C, x.dtype.itemsize, num_heads)
+    x6 = x.reshape(B, nH, w, nW, w, C)  # free: adjacent-dim splits only
+
+    kernel = functools.partial(_strip_fwd_kernel, h=num_heads, w=w, wr=wr)
+    blk = pl.BlockSpec((SB, 1, w, nW, w, C),
+                       lambda b, i: (b, i, 0, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    rep2 = lambda b, i: (0, 0)
+    rep1 = lambda b, i: (0,)
+    y6 = pl.pallas_call(
+        kernel,
+        grid=(B // SB, nH),
+        in_specs=[
+            blk,
+            pl.BlockSpec((C, 3 * C), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), rep1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, nH, w, nW, w, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((SB * nW * Np, C), x.dtype)],
+        interpret=_interpret(),
+    )(x6, wqkv, bqkv, wproj, bproj)
+    return y6.reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def window_attention_nhwc(x, wqkv, bqkv, wproj, bproj, num_heads, window):
+    """Fused window MHA straight on the NHWC map (no bias/mask — the DaViT
+    family). x (B, H, W, C) with H, W divisible by ``window``. Forward does
+    ONE HBM read of x and one write of y; backward partitions via XLA and
+    reuses the split backward core."""
+    return _strip_fwd(x, wqkv, bqkv, wproj, bproj,
+                      num_heads=num_heads, window=window)
+
+
+def _wa_nhwc_fwd(x, wqkv, bqkv, wproj, bproj, num_heads, window):
+    y = _strip_fwd(x, wqkv, bqkv, wproj, bproj,
+                   num_heads=num_heads, window=window)
+    return y, (x, wqkv, bqkv, wproj)
+
+
+def _strip_bwd_kernel(x_ref, dy_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                      dqkv_ref, of_ref, xp_ref, dyp_ref, *, h: int, w: int,
+                      wr: int):
+    """Attention-core backward per (batch-strip, window-row) cell, all
+    window assembly in VMEM. Emits dqkv and of = p·v DISASSEMBLED back to
+    NHWC, so every weight/input grad downstream is a flat (B·H·W, C) matmul
+    with zero window relayouts (see _wa_nhwc_bwd)."""
+    SB, _, _, nW, _, C = x_ref.shape
+    hd = C // h
+    Np = w * wr
+    NW = SB * nW
+    scale = hd ** -0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+    keypad = jnp.where(col % wr < w, 0.0, -1e9).astype(jnp.float32)
+
+    # assemble x and dy windows (dead rows/cols zeroed: a dead query row
+    # has do = 0, so it contributes nothing to dk/dv; dead key columns get
+    # p = 0 from the keypad)
+    xp_ref[:] = jnp.zeros_like(xp_ref)
+    dyp_ref[:] = jnp.zeros_like(dyp_ref)
+    for bb in range(SB):
+        for j in range(nW):
+            base = (bb * nW + j) * Np
+            for r in range(w):
+                xp_ref[base + r * wr: base + r * wr + w, :] = x_ref[bb, 0, r, j]
+                dyp_ref[base + r * wr: base + r * wr + w, :] = dy_ref[bb, 0, r, j]
+
+    qkv = (
+        jnp.dot(xp_ref[:], wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype).reshape(NW, Np, 3 * C)
+    # do = dy @ wproj^T
+    do = jax.lax.dot_general(
+        dyp_ref[:], wproj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x_ref.dtype).reshape(NW, Np, C)
+
+    dqs, dks, dvs, ofs = [], [], [], []
+    for hi in range(h):
+        q = qkv[..., hi * hd:(hi + 1) * hd]
+        k = qkv[..., C + hi * hd:C + (hi + 1) * hd]
+        v = qkv[..., 2 * C + hi * hd:2 * C + (hi + 1) * hd]
+        do_h = do[..., hi * hd:(hi + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + keypad[None]
+        p = jax.nn.softmax(s, axis=-1)  # f32 for exact softmax bwd
+        pb = p.astype(x_ref.dtype)
+        # of = p @ v (pre-projection forward output, for dwproj downstream)
+        ofs.append(jax.lax.dot_general(
+            pb, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        # dv = p^T @ do_h
+        dvs.append(jax.lax.dot_general(
+            pb, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        # dp = do_h @ v^T ; ds = p * (dp - rowsum(dp*p)) * scale
+        dp = jax.lax.dot_general(
+            do_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              * scale).astype(x_ref.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dks.append(jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    dqkv = jnp.concatenate(
+        dqs + dks + dvs, axis=-1).astype(x_ref.dtype)  # (NW, Np, 3C)
+    of = jnp.concatenate(ofs, axis=-1).astype(x_ref.dtype)
+    for bb in range(SB):
+        for j in range(nW):
+            win = bb * nW + j
+            for r in range(w):
+                sl = slice(r * wr, r * wr + w)
+                dqkv_ref[bb, 0, r, j] = dqkv[win, sl, :]
+                of_ref[bb, 0, r, j] = of[win, sl, :]
+
+
+def _strip_bwd(x, dy, wqkv, bqkv, wproj, *, num_heads: int, window: int):
+    """Returns (dqkv, of) in NHWC layout: (B, H, W, 3C) and (B, H, W, C)."""
+    B, H, W, C = x.shape
+    w = window
+    nH, nW = H // w, W // w
+    wr = -(-w // 8) * 8
+    Np = w * wr
+    # backward holds ~3x the forward's per-token VMEM (dy/do/dqkv/of blocks
+    # + dp/ds transients): reuse the forward picker on a 3x-padded channel
+    SB = _pick_sb(B, nW, Np, 3 * C, x.dtype.itemsize, num_heads)
+    x6 = x.reshape(B, nH, w, nW, w, C)
+    dy6 = dy.reshape(B, nH, w, nW, w, C)
+
+    kernel = functools.partial(_strip_bwd_kernel, h=num_heads, w=w, wr=wr)
+    blk = pl.BlockSpec((SB, 1, w, nW, w, C),
+                       lambda b, i: (b, i, 0, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((SB, 1, w, nW, w, 3 * C),
+                        lambda b, i: (b, i, 0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rep2 = lambda b, i: (0, 0)
+    rep1 = lambda b, i: (0,)
+    dqkv6, of6 = pl.pallas_call(
+        kernel,
+        grid=(B // SB, nH),
+        in_specs=[
+            blk, blk,
+            pl.BlockSpec((C, 3 * C), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), rep2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk3, blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nH, w, nW, w, 3 * C), x.dtype),
+            jax.ShapeDtypeStruct((B, nH, w, nW, w, C), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SB * nW * Np, C), x.dtype),
+            pltpu.VMEM((SB * nW * Np, C), x.dtype),
+        ],
+        interpret=_interpret(),
+    )(x6, dy6, wqkv, bqkv, wproj)
+    return (dqkv6.reshape(B, H, W, 3 * C), of6.reshape(B, H, W, C))
+
+
+def _wa_nhwc_bwd(num_heads, window, res, dy):
+    """All-flat backward: the strip core emits dqkv/of in NHWC, so the
+    projection/weight grads are plain (B·H·W, C) matmuls — no window
+    partition/reverse, no 49->64 pads, no layout copies (the XLA path this
+    replaces measured ~3 ms/step of relayouts on davit_tiny B=64)."""
+    x, wqkv, bqkv, wproj = res
+    B, H, W, C = x.shape
+    f32 = jnp.float32
+    dqkv6, of6 = _strip_bwd(x, dy, wqkv, bqkv, wproj,
+                            num_heads=num_heads, window=window)
+    xf = x.reshape(B * H * W, C)
+    dyf = dy.reshape(B * H * W, C)
+    dqkvf = dqkv6.reshape(B * H * W, 3 * C)
+    off = of6.reshape(B * H * W, C)
+    dwproj = jnp.dot(off.T, dyf, preferred_element_type=f32)
+    dbproj = jnp.sum(dyf.astype(f32), axis=0)
+    dwqkv = jnp.dot(xf.T, dqkvf, preferred_element_type=f32)
+    dbqkv = jnp.sum(dqkvf.astype(f32), axis=0)
+    dx = jnp.dot(dqkvf, wqkv.astype(dqkvf.dtype).T,
+                 preferred_element_type=f32).astype(x.dtype).reshape(
+        B, H, W, C)
+    return (
+        dx,
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(bqkv.dtype),
+        dwproj.astype(wproj.dtype),
+        dbproj.astype(wproj.dtype),
+    )
+
+
+window_attention_nhwc.defvjp(_wa_nhwc_fwd, _wa_nhwc_bwd)

@@ -130,3 +130,79 @@ def test_mask_period_exceeds_block():
                                    None, m))))(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                atol=5e-4, rtol=5e-4)
+
+
+def _nhwc_setup(B=2, H=14, W=14, C=96, h=3, seed=3, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)) * 0.5, dtype)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.05, dtype)
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)) * 0.02, dtype)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.05, dtype)
+    bproj = jnp.asarray(rng.normal(size=(C,)) * 0.02, dtype)
+    return x, wqkv, bqkv, wproj, bproj
+
+
+def _nhwc_reference(x, wqkv, bqkv, wproj, bproj, h, w):
+    from skinjax.models.backbones.transformer_zoo import (
+        window_partition,
+        window_reverse,
+    )
+
+    B, H, W, C = x.shape
+    y = window_attention_reference(
+        window_partition(x, w), wqkv, bqkv, wproj, bproj, h)
+    return window_reverse(y, w, H, W)
+
+
+@pytest.mark.parametrize("B,H,W,C,h", [
+    (2, 14, 14, 96, 3),   # stage-2-like: 2x2 windows
+    (2, 7, 7, 96, 3),     # stage-3-like: single window per image
+    (1, 28, 28, 64, 2),   # 4x4 windows, SB growth
+])
+def test_nhwc_strip_forward_parity(B, H, W, C, h):
+    """The strip-blocked NHWC kernel == partition->reference->reverse."""
+    from skinjax.ops.pallas.window_attention import window_attention_nhwc
+
+    x, wqkv, bqkv, wproj, bproj = _nhwc_setup(B, H, W, C, h)
+    got = window_attention_nhwc(x, wqkv, bqkv, wproj, bproj, h, 7)
+    want = _nhwc_reference(x, wqkv, bqkv, wproj, bproj, h, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_nhwc_strip_gradient_parity():
+    from skinjax.ops.pallas.window_attention import window_attention_nhwc
+
+    x, wqkv, bqkv, wproj, bproj = _nhwc_setup()
+
+    def loss_k(*a):
+        return jnp.sum(jnp.sin(
+            window_attention_nhwc(*a, 3, 7).astype(jnp.float32)))
+
+    def loss_r(*a):
+        return jnp.sum(jnp.sin(
+            _nhwc_reference(*a, 3, 7).astype(jnp.float32)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(
+        x, wqkv, bqkv, wproj, bproj)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(
+        x, wqkv, bqkv, wproj, bproj)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
+
+
+def test_davit_module_nhwc_fused_matches_unfused():
+    """SpatialBlock routes fused_attn through the NHWC strip kernel — same
+    params, same output as the unfused XLA path."""
+    from skinjax.models.backbones.davit import SpatialBlock
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 14, 14, 96)) * 0.5, jnp.float32)
+    fused = SpatialBlock(96, 3, strip_attn=True)
+    plain = SpatialBlock(96, 3)
+    variables = plain.init(jax.random.key(0), x)
+    want = plain.apply(variables, x)
+    got = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
