@@ -38,6 +38,15 @@ _BN_SUBSAMPLE = int(os.environ.get("SKINJAX_BN_SUBSAMPLE", "0") or 0)
 # transform happens at trace time, so importers/checkpoints are unaffected).
 _S2D_STEM = os.environ.get("SKINJAX_S2D_STEM", "") == "1"
 
+# SKINJAX_REMAT=block: rematerialize each residual block in the backward
+# pass (jax.checkpoint via nn.remat). Only block-boundary activations are
+# stored; everything inside a block (conv outputs, BN normalizations,
+# relus) is recomputed from the block input during the backward sweep —
+# the canonical HBM-traffic-for-FLOPs trade on a bandwidth-bound trainer
+# (docs/DESIGN.md §5: ~6 GB of stored activations at B=128). Param tree
+# and numerics are unchanged; opt-in, read at import time.
+_REMAT = os.environ.get("SKINJAX_REMAT", "")
+
 
 class _SpaceToDepthConv7x7s2(nn.Module):
     """Exact rewrite of Conv(7×7, stride 2, pad 3, no bias) for even H, W:
@@ -234,13 +243,29 @@ class ResNet(nn.Module):
         x = ConvBN(self.width, 7, 2, dtype=self.dtype, name="stem")(x, train=train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        remat = _REMAT == "block" and train
         for i, n_blocks in enumerate(self.stage_sizes):
             feats = self.width * (2**i)
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
-                x = block_cls(
-                    feats, stride, dtype=self.dtype, name=f"layer{i + 1}_{j}"
-                )(x, train=train)
+                name = f"layer{i + 1}_{j}"
+                if remat:
+                    # function-form nn.remat so the static `train` flag is
+                    # closed over (not traced); param names are set inside,
+                    # so the tree is identical to the unwrapped path.
+                    # prevent_cse=False: safe under plain jit (no pmap/scan
+                    # around the step) and lets XLA fuse recomputed forward
+                    # chunks into the backward instead of fencing them.
+                    def body(mdl, y, _f=feats, _s=stride, _n=name):
+                        return block_cls(
+                            _f, _s, dtype=mdl.dtype, name=_n
+                        )(y, train=True)
+
+                    x = nn.remat(body, prevent_cse=False)(self, x)
+                else:
+                    x = block_cls(
+                        feats, stride, dtype=self.dtype, name=name
+                    )(x, train=train)
         return x  # (B, 7, 7, C) for 224 inputs
 
 
