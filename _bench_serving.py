@@ -47,6 +47,8 @@ for path, img in (("u8 ", img_u8), ("f32", img_f32)):
     for clients in (1, 8, 32):
         lats = []
         lock = threading.Lock()
+        stats0 = dict(batcher.stats)
+        wall0 = time.perf_counter()
         stop = time.time() + 12.0
 
         def worker():
@@ -67,8 +69,17 @@ for path, img in (("u8 ", img_u8), ("f32", img_f32)):
         for t in threads:
             t.join()
         arr = np.asarray(lats)
+        wall = time.perf_counter() - wall0
+        d = {k: batcher.stats[k] - stats0[k] for k in batcher.stats}
+        occ = (d["occupancy_sum"] / d["batches"]) if d["batches"] else 0.0
+        # server-side attribution: a starved worker (idle >> forward) means
+        # requests aren't ARRIVING fast enough — the bottleneck is the
+        # client side / host CPU, not the batching pipeline or the chip
         print(f"{path} clients={clients:2d}: p50={np.percentile(arr, 50):6.1f} ms "
               f"p95={np.percentile(arr, 95):6.1f} ms "
               f"throughput={len(arr) / 12.0:6.1f} req/s "
-              f"(n={len(arr)})", flush=True)
+              f"(n={len(arr)}) | server: occ={occ:4.1f}/{batcher.max_batch} "
+              f"batches={d['batches']} direct={d['direct_requests']} "
+              f"fwd={d['forward_s']:5.2f}s idle={d['idle_s']:5.2f}s "
+              f"wall={wall:5.2f}s", flush=True)
 batcher.shutdown()

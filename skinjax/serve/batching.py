@@ -81,8 +81,14 @@ class BatchingEngine:
         # stats are written from the worker AND from fast-path caller
         # threads — non-atomic += would drop counts
         self._stats_lock = threading.Lock()
+        # occupancy_sum/forward_s/idle_s: server-side accounting that
+        # separates "the worker is saturated" from "the worker is starved
+        # waiting for requests" — the evidence that attributes throughput
+        # regressions to the server pipeline vs the client side (README
+        # serving table: 32-client dip on the 1-core host)
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "direct_requests": 0}
+                      "direct_requests": 0, "occupancy_sum": 0,
+                      "forward_s": 0.0, "idle_s": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -144,10 +150,15 @@ class BatchingEngine:
 
     # -- worker ---------------------------------------------------------------
     def _collect(self) -> List[_Pending]:
+        t0 = time.perf_counter()
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
+            with self._stats_lock:
+                self.stats["idle_s"] += time.perf_counter() - t0
             return []
+        with self._stats_lock:
+            self.stats["idle_s"] += time.perf_counter() - t0
         group = [first]
         deadline = time.perf_counter() + self.max_wait_s
         while len(group) < self.max_batch:
@@ -187,12 +198,16 @@ class BatchingEngine:
                     feats = np.concatenate(
                         [p.feats for p in sub] + [sub[-1].feats] * (b - n)
                     )
+                    tf = time.perf_counter()
                     probs = self.engine.predict_probs(images, feats)
+                    tf = time.perf_counter() - tf
                     for i, p in enumerate(sub):
                         p.probs = probs[i : i + 1]
                     with self._stats_lock:
                         self.stats["requests"] += n
                         self.stats["batches"] += 1
+                        self.stats["occupancy_sum"] += n
+                        self.stats["forward_s"] += tf
                         if n > 1:
                             self.stats["batched_requests"] += n
                 except Exception as e:  # noqa: BLE001 - fan the error out
