@@ -128,7 +128,8 @@ class DaViTWindowAttentionNHWC(nn.Module):
         wproj, bproj = DenseParams(C, name="proj")(C)
         return window_attention_nhwc(
             x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
-            wproj.astype(dt), bproj.astype(dt), self.num_heads, self.window,
+            wproj.astype(dt), bproj.astype(dt), None, None,
+            self.num_heads, self.window,
         )
 
 
@@ -288,7 +289,18 @@ class ChannelBlock(nn.Module):
         x = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe1")(x)
         t = x.reshape(B, H * W, C)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(t)
-        attn_cls = (DaViTChannelAttentionFused if self.fused_attn
+        if self.fused_attn:
+            from skinjax.ops.pallas.channel_attention import (
+                channel_attention_supported,
+            )
+
+            dt = jnp.dtype(self.dtype or t.dtype)
+            use_fused = channel_attention_supported(
+                H * W, C, self.num_heads, dt.itemsize
+            )
+        else:
+            use_fused = False
+        attn_cls = (DaViTChannelAttentionFused if use_fused
                     else DaViTChannelAttention)
         y = attn_cls(self.dim, self.num_heads, dtype=self.dtype,
                      name="attn")(y)
