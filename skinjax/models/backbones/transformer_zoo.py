@@ -49,6 +49,12 @@ class WindowAttention(nn.Module):
     window: int
     dtype: Optional[jnp.dtype] = None
     fused: bool = False
+    # nhwc=True: input is the full (B, H, W, C) map and the strip-blocked
+    # NHWC kernel folds window partition / 49->64 pad / reverse into its
+    # block index maps; rel-pos bias and the per-window shifted mask are
+    # remapped into the kernel's interleaved token layout (window_attention
+    # .py _strip_remap). Param tree identical to the partitioned paths.
+    nhwc: bool = False
 
     def _rel_bias(self, h):
         w = self.window
@@ -63,7 +69,25 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
-        """x: (nB, w*w, C); mask: (nW, w*w, w*w) additive or None."""
+        """x: (nB, w*w, C) — or the full (B, H, W, C) map when ``nhwc``;
+        mask: (nW, w*w, w*w) additive or None."""
+        if self.nhwc:
+            from skinjax.models.backbones.davit import DenseParams
+            from skinjax.ops.pallas.window_attention import (
+                window_attention_nhwc,
+            )
+
+            C = x.shape[-1]
+            h = self.num_heads
+            dt = self.dtype or x.dtype
+            wqkv, bqkv = DenseParams(3 * C, name="qkv")(C)
+            wproj, bproj = DenseParams(C, name="proj")(C)
+            bias = self._rel_bias(h).transpose(2, 0, 1).astype(jnp.float32)
+            m = mask.astype(jnp.float32) if mask is not None else None
+            return window_attention_nhwc(
+                x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), bias, m, h, self.window,
+            )
         nB, N, C = x.shape
         h = self.num_heads
         hd = C // h
@@ -141,6 +165,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     dtype: Optional[jnp.dtype] = None
     fused_attn: bool = False
+    strip_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -153,12 +178,21 @@ class SwinBlock(nn.Module):
             mask = jnp.asarray(_swin_attn_mask(H, W, self.window, shift))
         else:
             mask = None
-        y = window_partition(y, self.window)
-        y = WindowAttention(
-            self.dim, self.num_heads, self.window, dtype=self.dtype,
-            fused=self.fused_attn, name="attn",
-        )(y, mask)
-        y = window_reverse(y, self.window, H, W)
+        if (self.strip_attn and H % self.window == 0
+                and W % self.window == 0):
+            # strip-blocked NHWC kernel: no partition/pad/reverse ops; the
+            # rolls (cheap lane-aligned copies) stay in XLA
+            y = WindowAttention(
+                self.dim, self.num_heads, self.window, dtype=self.dtype,
+                nhwc=True, name="attn",
+            )(y, mask)
+        else:
+            y = window_partition(y, self.window)
+            y = WindowAttention(
+                self.dim, self.num_heads, self.window, dtype=self.dtype,
+                fused=self.fused_attn, name="attn",
+            )(y, mask)
+            y = window_reverse(y, self.window, H, W)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = x + y
@@ -191,12 +225,15 @@ class Swin(nn.Module):
     heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 7
     dtype: Optional[jnp.dtype] = None
-    # Pallas fused window attention (ops/pallas/window_attention.py).
-    # Explicit opt-in only — measured SLOWER than XLA for Swin (rel-pos bias
-    # + 64 shifted masks add f32 VMEM traffic the XLA fusion handles better:
-    # 717 vs 635 img/s at B=64; docs/DESIGN.md §5b), unlike DaViT where the
-    # bias-free kernel wins and SKINJAX_WINATTN=pallas is honored.
+    # Pallas window attention (ops/pallas/window_attention.py).
+    # fused_attn (padded-window kernel) measured SLOWER than XLA for Swin
+    # (rel-pos bias + 64 shifted masks add f32 VMEM traffic the XLA fusion
+    # handles better: 717 vs 635 img/s at B=64; docs/DESIGN.md §5b) — kept
+    # as an explicit opt-in A/B control. strip_attn routes through the
+    # strip-blocked NHWC kernel with bias/mask folded in (no partition
+    # relayouts at all).
     fused_attn: bool = False
+    strip_attn: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -211,6 +248,7 @@ class Swin(nn.Module):
                 x = SwinBlock(
                     dim, h, self.window, shift, dtype=self.dtype,
                     fused_attn=self.fused_attn,
+                    strip_attn=self.strip_attn,
                     name=f"stage{si}_block{bi}",
                 )(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)

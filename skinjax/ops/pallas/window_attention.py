@@ -488,8 +488,22 @@ def _pick_sb(B: int, nW: int, Np: int, C: int, itemsize: int, h: int) -> int:
     return sb
 
 
+def _strip_remap_idx(w: int, wr: int):
+    """Token map from the interleaved (r*wr + c) layout to the real
+    (r*w + c) window order; dead columns point at 0 (their scores are
+    keypad-masked / their grads dropped at disassembly)."""
+    import numpy as np
+
+    idx = np.zeros(w * wr, np.int32)
+    for t in range(w * wr):
+        r, c = divmod(t, wr)
+        idx[t] = r * w + c if c < w else 0
+    return idx
+
+
 def _strip_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                      y_ref, xp_ref, *, h: int, w: int, wr: int):
+                      bias_ref, mask_ref, y_ref, xp_ref, *, h: int, w: int,
+                      wr: int, has_bias: bool, has_mask: bool):
     SB, _, _, nW, _, C = x_ref.shape
     hd = C // h
     Np = w * wr
@@ -521,6 +535,14 @@ def _strip_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale + keypad[None]
+        if has_bias:
+            s = s + bias_ref[hi].astype(jnp.float32)[None]
+        if has_mask:
+            # per-window additive mask: window index within the cell is
+            # bb*nW + j, and the (1, nW, Np, Np) block holds this window
+            # row's nW masks
+            s = (s.reshape(SB, nW, Np, Np)
+                 + mask_ref[0].astype(jnp.float32)[None]).reshape(NW, Np, Np)
         p = jax.nn.softmax(s, axis=-1).astype(x_ref.dtype)
         outs.append(jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -538,7 +560,14 @@ def _strip_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 y_ref[bb, 0, r, j] = y[bb * nW + j, r * wr:r * wr + w, :]
 
 
-def _strip_fwd(x, wqkv, bqkv, wproj, bproj, *, num_heads: int, window: int):
+def _strip_remap(t, idx):
+    """Remap the last two (N, N) dims of bias/mask into the interleaved
+    (Np, Np) token layout — a pair of tiny gathers in XLA, never batched."""
+    return jnp.take(jnp.take(t, idx, axis=-2), idx, axis=-1)
+
+
+def _strip_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int,
+               window: int):
     B, H, W, C = x.shape
     w = window
     nH, nW = H // w, W // w
@@ -546,13 +575,29 @@ def _strip_fwd(x, wqkv, bqkv, wproj, bproj, *, num_heads: int, window: int):
     Np = w * wr
     SB = _pick_sb(B, nW, Np, C, x.dtype.itemsize, num_heads)
     x6 = x.reshape(B, nH, w, nW, w, C)  # free: adjacent-dim splits only
+    has_bias = bias is not None
+    has_mask = mask is not None
+    idx = jnp.asarray(_strip_remap_idx(w, wr))
+    bias_in = (_strip_remap(bias, idx).astype(jnp.float32) if has_bias
+               else jnp.zeros((1, 1, 1), jnp.float32))
+    # mask: (nH*nW, N, N) per-window additive -> (nH, nW, Np, Np) so the
+    # grid's window-row index selects the right nW-slice
+    mask_in = (_strip_remap(mask, idx).astype(jnp.float32).reshape(
+        nH, nW, Np, Np) if has_mask
+        else jnp.zeros((1, 1, 1, 1), jnp.float32))
 
-    kernel = functools.partial(_strip_fwd_kernel, h=num_heads, w=w, wr=wr)
+    kernel = functools.partial(_strip_fwd_kernel, h=num_heads, w=w, wr=wr,
+                               has_bias=has_bias, has_mask=has_mask)
     blk = pl.BlockSpec((SB, 1, w, nW, w, C),
                        lambda b, i: (b, i, 0, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     rep2 = lambda b, i: (0, 0)
     rep1 = lambda b, i: (0,)
+    rep3 = lambda b, i: (0, 0, 0)
+    mask_spec = (pl.BlockSpec((1, nW, Np, Np), lambda b, i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if has_mask else
+                 pl.BlockSpec(mask_in.shape, lambda b, i: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM))
     y6 = pl.pallas_call(
         kernel,
         grid=(B // SB, nH),
@@ -562,34 +607,41 @@ def _strip_fwd(x, wqkv, bqkv, wproj, bproj, *, num_heads: int, window: int):
             pl.BlockSpec((3 * C,), rep1, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_in.shape, rep3, memory_space=pltpu.VMEM),
+            mask_spec,
         ],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((B, nH, w, nW, w, C), x.dtype),
         scratch_shapes=[pltpu.VMEM((SB * nW * Np, C), x.dtype)],
         interpret=_interpret(),
-    )(x6, wqkv, bqkv, wproj, bproj)
+    )(x6, wqkv, bqkv, wproj, bproj, bias_in, mask_in)
     return y6.reshape(B, H, W, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def window_attention_nhwc(x, wqkv, bqkv, wproj, bproj, num_heads, window):
-    """Fused window MHA straight on the NHWC map (no bias/mask — the DaViT
-    family). x (B, H, W, C) with H, W divisible by ``window``. Forward does
-    ONE HBM read of x and one write of y; backward partitions via XLA and
-    reuses the split backward core."""
-    return _strip_fwd(x, wqkv, bqkv, wproj, bproj,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def window_attention_nhwc(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                          num_heads, window):
+    """Fused window MHA straight on the NHWC map. x (B, H, W, C) with H, W
+    divisible by ``window``. ``bias``: (h, N, N) additive rel-pos bias or
+    None (differentiable — Swin). ``mask``: (nH*nW, N, N) PER-WINDOW
+    additive mask or None (shifted windows; constant). Forward does ONE HBM
+    read of x and one write of y; backward reuses the split core and
+    accumulates dbias in-kernel."""
+    return _strip_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
                       num_heads=num_heads, window=window)
 
 
-def _wa_nhwc_fwd(x, wqkv, bqkv, wproj, bproj, num_heads, window):
-    y = _strip_fwd(x, wqkv, bqkv, wproj, bproj,
+def _wa_nhwc_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads,
+                 window):
+    y = _strip_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
                    num_heads=num_heads, window=window)
-    return y, (x, wqkv, bqkv, wproj)
+    return y, (x, wqkv, bqkv, wproj, bias, mask)
 
 
 def _strip_bwd_kernel(x_ref, dy_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                      dqkv_ref, of_ref, xp_ref, dyp_ref, *, h: int, w: int,
-                      wr: int):
+                      bias_ref, mask_ref, dqkv_ref, of_ref, dbias_ref,
+                      xp_ref, dyp_ref, *, h: int, w: int,
+                      wr: int, has_bias: bool, has_mask: bool):
     """Attention-core backward per (batch-strip, window-row) cell, all
     window assembly in VMEM. Emits dqkv and of = p·v DISASSEMBLED back to
     NHWC, so every weight/input grad downstream is a flat (B·H·W, C) matmul
@@ -624,6 +676,11 @@ def _strip_bwd_kernel(x_ref, dy_ref, wqkv_ref, bqkv_ref, wproj_ref,
         preferred_element_type=jnp.float32,
     ).astype(x_ref.dtype).reshape(NW, Np, C)
 
+    if has_bias:
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _zero_dbias():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
     dqs, dks, dvs, ofs = [], [], [], []
     for hi in range(h):
         q = qkv[..., hi * hd:(hi + 1) * hd]
@@ -634,6 +691,12 @@ def _strip_bwd_kernel(x_ref, dy_ref, wqkv_ref, bqkv_ref, wproj_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale + keypad[None]
+        if has_bias:
+            s = s + bias_ref[hi].astype(jnp.float32)[None]
+        if has_mask:
+            nWm = mask_ref.shape[1]
+            s = (s.reshape(NW // nWm, nWm, Np, Np)
+                 + mask_ref[0].astype(jnp.float32)[None]).reshape(NW, Np, Np)
         p = jax.nn.softmax(s, axis=-1)  # f32 for exact softmax bwd
         pb = p.astype(x_ref.dtype)
         # of = p @ v (pre-projection forward output, for dwproj downstream)
@@ -651,8 +714,12 @@ def _strip_bwd_kernel(x_ref, dy_ref, wqkv_ref, bqkv_ref, wproj_ref,
             do_h, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-              * scale).astype(x_ref.dtype)
+        dsp = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if has_bias:
+            # grad wrt the ADDITIVE bias: pre-scale ds, summed over windows
+            # (accumulated across grid cells; zeroed at the first cell)
+            dbias_ref[hi] += jnp.sum(dsp, axis=0)
+        ds = (dsp * scale).astype(x_ref.dtype)
         dqs.append(jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -673,8 +740,10 @@ def _strip_bwd_kernel(x_ref, dy_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 of_ref[bb, 0, r, j] = of[win, sl, :]
 
 
-def _strip_bwd(x, dy, wqkv, bqkv, wproj, *, num_heads: int, window: int):
-    """Returns (dqkv, of) in NHWC layout: (B, H, W, 3C) and (B, H, W, C)."""
+def _strip_bwd(x, dy, wqkv, bqkv, wproj, bias, mask, *, num_heads: int,
+               window: int):
+    """Returns (dqkv, of, dbias) in NHWC layout: (B, H, W, 3C),
+    (B, H, W, C) and (h, N, N) (or None without bias)."""
     B, H, W, C = x.shape
     w = window
     nH, nW = H // w, W // w
@@ -685,8 +754,17 @@ def _strip_bwd(x, dy, wqkv, bqkv, wproj, *, num_heads: int, window: int):
     SB = _pick_sb(B, nW, Np, 3 * C, x.dtype.itemsize, num_heads)
     x6 = x.reshape(B, nH, w, nW, w, C)
     dy6 = dy.reshape(B, nH, w, nW, w, C)
+    has_bias = bias is not None
+    has_mask = mask is not None
+    idx = jnp.asarray(_strip_remap_idx(w, wr))
+    bias_in = (_strip_remap(bias, idx).astype(jnp.float32) if has_bias
+               else jnp.zeros((1, 1, 1), jnp.float32))
+    mask_in = (_strip_remap(mask, idx).astype(jnp.float32).reshape(
+        nH, nW, Np, Np) if has_mask
+        else jnp.zeros((1, 1, 1, 1), jnp.float32))
 
-    kernel = functools.partial(_strip_bwd_kernel, h=num_heads, w=w, wr=wr)
+    kernel = functools.partial(_strip_bwd_kernel, h=num_heads, w=w, wr=wr,
+                               has_bias=has_bias, has_mask=has_mask)
     blk = pl.BlockSpec((SB, 1, w, nW, w, C),
                        lambda b, i: (b, i, 0, 0, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -695,7 +773,13 @@ def _strip_bwd(x, dy, wqkv, bqkv, wproj, *, num_heads: int, window: int):
                         memory_space=pltpu.VMEM)
     rep2 = lambda b, i: (0, 0)
     rep1 = lambda b, i: (0,)
-    dqkv6, of6 = pl.pallas_call(
+    rep3 = lambda b, i: (0, 0, 0)
+    mask_spec = (pl.BlockSpec((1, nW, Np, Np), lambda b, i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if has_mask else
+                 pl.BlockSpec(mask_in.shape, lambda b, i: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM))
+    dbias_shape = (num_heads, Np, Np) if has_bias else (1, 1, 1)
+    dqkv6, of6, dbias_p = pl.pallas_call(
         kernel,
         grid=(B // SB, nH),
         in_specs=[
@@ -703,19 +787,31 @@ def _strip_bwd(x, dy, wqkv, bqkv, wproj, *, num_heads: int, window: int):
             pl.BlockSpec((C, 3 * C), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * C,), rep1, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_in.shape, rep3, memory_space=pltpu.VMEM),
+            mask_spec,
         ],
-        out_specs=[blk3, blk],
+        out_specs=[blk3, blk,
+                   # accumulated over every grid cell (constant index map)
+                   pl.BlockSpec(dbias_shape, rep3,
+                                memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((B, nH, w, nW, w, 3 * C), x.dtype),
             jax.ShapeDtypeStruct((B, nH, w, nW, w, C), x.dtype),
+            jax.ShapeDtypeStruct(dbias_shape, jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((SB * nW * Np, C), x.dtype),
             pltpu.VMEM((SB * nW * Np, C), x.dtype),
         ],
         interpret=_interpret(),
-    )(x6, dy6, wqkv, bqkv, wproj)
-    return (dqkv6.reshape(B, H, W, 3 * C), of6.reshape(B, H, W, C))
+    )(x6, dy6, wqkv, bqkv, wproj, bias_in, mask_in)
+    dbias = None
+    if has_bias:
+        # map the interleaved-layout grads back to real token order
+        idx2 = jnp.asarray(
+            [(n // w) * wr + (n % w) for n in range(w * w)], jnp.int32)
+        dbias = _strip_remap(dbias_p, idx2)
+    return (dqkv6.reshape(B, H, W, 3 * C), of6.reshape(B, H, W, C), dbias)
 
 
 def _wa_nhwc_bwd(num_heads, window, res, dy):
@@ -723,11 +819,11 @@ def _wa_nhwc_bwd(num_heads, window, res, dy):
     projection/weight grads are plain (B·H·W, C) matmuls — no window
     partition/reverse, no 49->64 pads, no layout copies (the XLA path this
     replaces measured ~3 ms/step of relayouts on davit_tiny B=64)."""
-    x, wqkv, bqkv, wproj = res
+    x, wqkv, bqkv, wproj, bias, mask = res
     B, H, W, C = x.shape
     f32 = jnp.float32
-    dqkv6, of6 = _strip_bwd(x, dy, wqkv, bqkv, wproj,
-                            num_heads=num_heads, window=window)
+    dqkv6, of6, dbias = _strip_bwd(x, dy, wqkv, bqkv, wproj, bias, mask,
+                                   num_heads=num_heads, window=window)
     xf = x.reshape(B * H * W, C)
     dyf = dy.reshape(B * H * W, C)
     dqkvf = dqkv6.reshape(B * H * W, 3 * C)
@@ -745,6 +841,8 @@ def _wa_nhwc_bwd(num_heads, window, res, dy):
         dbqkv.astype(bqkv.dtype),
         dwproj.astype(wproj.dtype),
         dbproj.astype(wproj.dtype),
+        dbias.astype(bias.dtype) if bias is not None else None,
+        None,
     )
 
 

@@ -164,7 +164,7 @@ def test_nhwc_strip_forward_parity(B, H, W, C, h):
     from skinjax.ops.pallas.window_attention import window_attention_nhwc
 
     x, wqkv, bqkv, wproj, bproj = _nhwc_setup(B, H, W, C, h)
-    got = window_attention_nhwc(x, wqkv, bqkv, wproj, bproj, h, 7)
+    got = window_attention_nhwc(x, wqkv, bqkv, wproj, bproj, None, None, h, 7)
     want = _nhwc_reference(x, wqkv, bqkv, wproj, bproj, h, 7)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
@@ -177,7 +177,7 @@ def test_nhwc_strip_gradient_parity():
 
     def loss_k(*a):
         return jnp.sum(jnp.sin(
-            window_attention_nhwc(*a, 3, 7).astype(jnp.float32)))
+            window_attention_nhwc(*a, None, None, 3, 7).astype(jnp.float32)))
 
     def loss_r(*a):
         return jnp.sum(jnp.sin(
@@ -190,6 +190,89 @@ def test_nhwc_strip_gradient_parity():
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=3e-4)
+
+
+def _nhwc_bias_mask_reference(x, wqkv, bqkv, wproj, bproj, b, m, h, w):
+    from skinjax.models.backbones.transformer_zoo import (
+        window_partition,
+        window_reverse,
+    )
+
+    B, H, W, C = x.shape
+    y = window_attention_reference(
+        window_partition(x, w), wqkv, bqkv, wproj, bproj, h, b, m)
+    return window_reverse(y, w, H, W)
+
+
+@pytest.mark.parametrize("B,H,W,C,h", [
+    (2, 14, 14, 96, 3),   # 4 windows: mask sliced per window row
+    (2, 7, 7, 96, 3),     # single window
+])
+def test_nhwc_strip_bias_mask_forward_parity(B, H, W, C, h):
+    """Strip kernel with rel-pos bias + per-window mask (the Swin path) ==
+    partition->reference->reverse with the same additive terms."""
+    from skinjax.ops.pallas.window_attention import window_attention_nhwc
+
+    rng = np.random.default_rng(7)
+    x, wqkv, bqkv, wproj, bproj = _nhwc_setup(B, H, W, C, h)
+    N = 49
+    n_win = (H // 7) * (W // 7)
+    b = jnp.asarray(rng.normal(size=(h, N, N)) * 0.1, jnp.float32)
+    m = jnp.asarray(
+        np.where(rng.uniform(size=(n_win, N, N)) > 0.8, -100.0, 0.0),
+        jnp.float32)
+    got = window_attention_nhwc(x, wqkv, bqkv, wproj, bproj, b, m, h, 7)
+    want = _nhwc_bias_mask_reference(x, wqkv, bqkv, wproj, bproj, b, m, h, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_nhwc_strip_bias_mask_gradient_parity():
+    """dbias accumulates across grid cells in-kernel; all grads match the
+    reference, including the rel-pos bias."""
+    from skinjax.ops.pallas.window_attention import window_attention_nhwc
+
+    rng = np.random.default_rng(8)
+    x, wqkv, bqkv, wproj, bproj = _nhwc_setup(2, 14, 14, 96, 3)
+    b = jnp.asarray(rng.normal(size=(3, 49, 49)) * 0.1, jnp.float32)
+    m = jnp.asarray(
+        np.where(rng.uniform(size=(4, 49, 49)) > 0.8, -100.0, 0.0),
+        jnp.float32)
+
+    def loss_k(x, wqkv, bqkv, wproj, bproj, b):
+        return jnp.sum(jnp.sin(window_attention_nhwc(
+            x, wqkv, bqkv, wproj, bproj, b, m, 3, 7).astype(jnp.float32)))
+
+    def loss_r(x, wqkv, bqkv, wproj, bproj, b):
+        return jnp.sum(jnp.sin(_nhwc_bias_mask_reference(
+            x, wqkv, bqkv, wproj, bproj, b, m, 3, 7).astype(jnp.float32)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wqkv, bqkv, wproj, bproj, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wqkv, bqkv, wproj, bproj, b)
+    names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"]
+    for n, a, want in zip(names, gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
+
+
+def test_swin_block_strip_matches_plain():
+    """SwinBlock strip path (NHWC kernel, rolls in XLA) == the partitioned
+    XLA path on the same params — shifted block included."""
+    from skinjax.models.backbones.transformer_zoo import SwinBlock
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 14, 14, 96)) * 0.5, jnp.float32)
+    for shift in (0, 3):
+        plain = SwinBlock(96, 3, 7, shift)
+        strip = SwinBlock(96, 3, 7, shift, strip_attn=True)
+        variables = plain.init(jax.random.key(0), x)
+        want = plain.apply(variables, x)
+        got = strip.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=3e-5,
+                                   err_msg=f"shift={shift}")
 
 
 def test_davit_module_nhwc_fused_matches_unfused():
