@@ -150,6 +150,17 @@ def main():
         extras["davit_tiny_images_per_sec"] = round(davit_ips, 1)
     except Exception:
         pass
+    try:
+        swin = MultimodalModel(
+            num_classes=6, num_heads=8, cnn_model_name="swin_tiny",
+            text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+            attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+            dtype=jnp.bfloat16,
+        )
+        swin_ips, _ = _train_throughput(swin, DAVIT_BATCH)
+        extras["swin_tiny_images_per_sec"] = round(swin_ips, 1)
+    except Exception:
+        pass
 
     base = _torch_cpu_baseline()
     vs = ips / base if np.isfinite(base) and base > 0 else None

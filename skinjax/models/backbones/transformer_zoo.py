@@ -12,6 +12,7 @@ into the attention einsums); window attention runs as one batched MHA over
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -229,11 +230,13 @@ class Swin(nn.Module):
     # fused_attn (padded-window kernel) measured SLOWER than XLA for Swin
     # (rel-pos bias + 64 shifted masks add f32 VMEM traffic the XLA fusion
     # handles better: 717 vs 635 img/s at B=64; docs/DESIGN.md §5b) — kept
-    # as an explicit opt-in A/B control. strip_attn routes through the
-    # strip-blocked NHWC kernel with bias/mask folded in (no partition
-    # relayouts at all).
+    # as an explicit opt-in A/B control. strip_attn (the strip-blocked NHWC
+    # kernel, bias/mask folded into the interleaved token layout, no
+    # partition relayouts at all) measured 933 vs 715 img/s (+30%,
+    # docs/DESIGN.md §5b-r3) — SKINJAX_WINATTN=pallas is honored again and
+    # routes Swin through it (read at import time, like DaViT).
     fused_attn: bool = False
-    strip_attn: bool = False
+    strip_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
