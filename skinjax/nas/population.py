@@ -118,10 +118,22 @@ class PopulationTrainer:
         vocab_size: Optional[int] = None,
         mesh=None,
         mesh_axis: str = "data",
+        pad_width: Optional[int] = None,
     ):
         self.train_source = train_source
         self.val_source = val_source
         self.num_classes = num_classes
+        # pad_width: pad every bucket to this vmap width by repeating its
+        # last config. Without it, each distinct (envelope, bucket-size)
+        # pair is a FRESH XLA program: as memoization shrinks the fresh-
+        # candidate count per controller round, bucket widths churn through
+        # 1..K and the search becomes compile-bound (measured: a 128-step
+        # population-8 search on the v5e tunnel spent >90 min, dominated by
+        # remote compiles of width variants). Duplicated candidates are
+        # config-keyed for init/dropout, so they are exact clones; their
+        # rewards are sliced off. Compile (minutes) >> the wasted clone
+        # train steps (seconds).
+        self.pad_width = pad_width
         # pjit across candidates: shard the stacked candidate axis over the
         # mesh, one (or more) candidates per device — SURVEY §7's
         # "vmap/pjit across candidate configs". The batch is replicated;
@@ -193,6 +205,11 @@ class PopulationTrainer:
 
     def _train_bucket(self, configs: List[Dict]) -> List[float]:
         cfg = self.cfg
+        n_real = len(configs)
+        if self.pad_width and n_real < self.pad_width:
+            configs = list(configs) + [configs[-1]] * (
+                self.pad_width - n_real
+            )
         env = envelope_of(configs)
         model = SuperNet(
             env, num_classes=self.num_classes, vocab_size=self.vocab_size
@@ -335,7 +352,7 @@ class PopulationTrainer:
                 since_improve >= cfg.early_stopping_patience
             ).all():
                 break
-        return [float(b) for b in best]
+        return [float(b) for b in best[:n_real]]
 
     def evaluate(self, configs: Sequence[Dict]) -> List[Optional[float]]:
         """Rewards per config, in order. A config that fails to train gets
@@ -385,6 +402,7 @@ def make_population_evaluator(
     exact_init: bool = True,
     bucket_keys: Sequence[str] = DEFAULT_BUCKET_KEYS,
     mesh=None,
+    pad_width: Optional[int] = None,
 ) -> Callable[[Sequence[Dict]], List[Optional[float]]]:
     """80/20 split (as nas/optimization_train_process_pad_20.py:232-237) +
     a PopulationTrainer over it; returns ``configs -> rewards``."""
@@ -403,5 +421,6 @@ def make_population_evaluator(
         seed=seed,
         vocab_size=int(source.features.shape[1]),
         mesh=mesh,
+        pad_width=pad_width,
     )
     return trainer.evaluate

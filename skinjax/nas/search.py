@@ -97,8 +97,12 @@ def run_nas(
             )
         from skinjax.nas.population import make_population_evaluator
 
+        # pad buckets to the full population width: each envelope compiles
+        # ONE program regardless of how memoization/bucketing shrinks the
+        # fresh-candidate count (population.py pad_width rationale)
         evaluate_population = make_population_evaluator(
-            source, num_classes, train_cfg=train_cfg, seed=seed
+            source, num_classes, train_cfg=train_cfg, seed=seed,
+            pad_width=population_size,
         )
     if evaluate_candidate is None and evaluate_population is None:
         evaluate_candidate = _default_trainer(source, num_classes, train_cfg, seed)

@@ -174,6 +174,35 @@ def test_population_trainer_end_to_end():
     assert all(0.0 <= r <= 1.0 for r in rewards)
 
 
+def test_population_pad_width_rewards_identical():
+    """pad_width fills buckets with clones of the last config so every
+    envelope compiles one fixed-width program; rewards must be identical
+    to the unpadded bucket (clones are config-keyed for init/dropout and
+    sliced off)."""
+    src = synthetic_source(n=48, image_size=(16, 16), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=5)
+    idx = np.arange(len(src))
+    kw = dict(
+        num_classes=CLASSES,
+        config=TrainConfig(num_epochs=2, batch_size=12,
+                           early_stopping_patience=2,
+                           early_stopping_metric="val_bacc",
+                           image_dtype="float32"),
+        vocab_size=VOCAB,
+        exact_init=True,
+    )
+    plain = PopulationTrainer(
+        SubsetSource(src, idx[:36]), SubsetSource(src, idx[36:]), **kw)
+    padded = PopulationTrainer(
+        SubsetSource(src, idx[:36]), SubsetSource(src, idx[36:]),
+        pad_width=4, **kw)
+    subset = CANDIDATES[:2]
+    r_plain = plain.evaluate(subset)
+    r_padded = padded.evaluate(subset)
+    assert len(r_padded) == len(subset)
+    np.testing.assert_allclose(r_plain, r_padded, atol=1e-6)
+
+
 def test_run_nas_population_and_memoization():
     src = synthetic_source(n=40, image_size=(16, 16), feature_dim=VOCAB,
                            num_classes=CLASSES, seed=4)
