@@ -152,7 +152,7 @@ def run_model(data: bytes, feeds: Dict[str, np.ndarray],
             pads = [int(d) for d in i[1]]
             nd = i[0].ndim
             cfg = [(pads[k], pads[k + nd]) for k in range(nd)]
-            cval = float(i[2]) if len(i) > 2 else 0.0
+            cval = float(np.asarray(i[2]).reshape(-1)[0]) if len(i) > 2 else 0.0
             r = np.pad(i[0], cfg, constant_values=cval)
         elif op == "ReduceSum":
             axes = tuple(int(d) for d in i[1])
