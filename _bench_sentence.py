@@ -47,7 +47,7 @@ def build_onehot():
         dtype=jnp.bfloat16)
 
 
-def time_step(model, metadata):
+def time_step(model, metadata, freeze_text=False):
     rng = np.random.default_rng(0)
     batch = {"image": rng.integers(0, 256, (B, 224, 224, 3), dtype=np.uint8),
              "metadata": metadata,
@@ -63,8 +63,19 @@ def time_step(model, metadata):
     md = jax.tree_util.tree_map(jnp.asarray, batch["metadata"])
     lb = jnp.asarray(batch["label"])
     key = jax.random.key(1)
+    mask = None
+    if freeze_text:
+        # the reference default for BERT/GPT-2 towers
+        # (loadTextModelEncoder: train_mode="frozen_weights")
+        from skinjax.train import trainable_mask
+        import dataclasses
+        mask = trainable_mask(state.params, "frozen_weights",
+                              frozen_prefixes=("text_tower", "text_module"))
+        tx = make_optimizer(5e-5, 1e-4, mask=mask)
+        state = dataclasses.replace(state, opt_state=tx.init(state.params))
     step = make_train_step(model, tx, loss_fn, augment=True,
-                           image_dtype=jnp.bfloat16, recipe="sentence")
+                           image_dtype=jnp.bfloat16, recipe="sentence",
+                           trainable_mask=mask)
     t0 = time.perf_counter()
     for _ in range(3):
         state, loss = step(state, im, md, lb, key)
@@ -85,11 +96,12 @@ tokens_md = {
 }
 onehot_md = rng.normal(size=(B, 91)).astype(np.float32)
 
-for name, model, md in [
-    (f"bert-tokens T={T}", build_sentence(), tokens_md),
-    ("one-hot control ", build_onehot(), onehot_md),
+for name, model, md, frozen in [
+    (f"bert-tokens T={T}", build_sentence(), tokens_md, False),
+    (f"bert FROZEN T={T}", build_sentence(), tokens_md, True),
+    ("one-hot control ", build_onehot(), onehot_md, False),
 ]:
     steps_mod._TRAIN_STEP_CACHE.clear()
-    ms, ips, warm = time_step(model, md)
+    ms, ips, warm = time_step(model, md, freeze_text=frozen)
     print(f"{name:18s} B={B} {ms:8.2f} ms/step  {ips:7.1f} img/s  "
           f"(warm+compile {warm:.0f}s)", flush=True)

@@ -32,14 +32,68 @@ from skinjax.models.backbones.transformer_zoo import (
 )
 
 
+class _DWConvParams(nn.Module):
+    """Param tree of a depthwise nn.Conv (kernel (3,3,1,C) + bias, same
+    names/shapes/inits) without running its convolution — see DenseParams."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 1, self.dim), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+        return kernel, bias
+
+
+def _cpe_shift_call(self, x):
+    """Shift-add depthwise formulation: identical math as 9 shift-multiply-
+    adds over the NHWC map — pure elementwise ops XLA fuses into one VPU
+    pass, sidestepping the grouped-conv lowering. Param tree unchanged
+    (proj/kernel (3,3,1,C), proj/bias)."""
+    kernel, bias = _DWConvParams(self.dim, name="proj")()
+    dt = self.dtype or x.dtype
+    kernel = kernel.astype(dt)
+    bias = bias.astype(dt)
+    H, W = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jnp.broadcast_to(bias, x.shape)
+    for dy in range(3):
+        for dx in range(3):
+            y = y + xp[:, dy:dy + H, dx:dx + W, :] * kernel[dy, dx, 0]
+    return x + y
+
+
 class ConvPosEnc(nn.Module):
-    """Depthwise 3×3 conv added residually (timm davit ConvPosEnc, act=False)."""
+    """Depthwise 3×3 conv added residually (timm davit ConvPosEnc, act=False).
+
+    ``SKINJAX_CPE=shift`` (read at trace time; ``shift_impl`` overrides)
+    routes through _cpe_shift_call — same params, shift-add elementwise math
+    instead of a grouped convolution. Set the env before building jitted
+    steps: flipping it mid-process requires clearing the step trace caches
+    (steps._TRAIN_STEP_CACHE), as the A/B harness does."""
 
     dim: int
     dtype: Optional[jnp.dtype] = None
+    shift_impl: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.shift_impl is not None:
+            impl = "shift" if self.shift_impl else "conv"
+        else:
+            impl = os.environ.get("SKINJAX_CPE", "") or "conv"
+        if impl == "shift":
+            return _cpe_shift_call(self, x)
+        if impl == "identity":
+            # measurement probe ONLY (not semantics-preserving): same param
+            # tree, CPE math skipped — bounds the CPE bucket in A/Bs
+            _DWConvParams(self.dim, name="proj")()
+            return x
         y = nn.Conv(self.dim, (3, 3), padding=[(1, 1)] * 2,
                     feature_group_count=self.dim, dtype=self.dtype, name="proj")(x)
         return x + y

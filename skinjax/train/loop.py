@@ -51,6 +51,16 @@ class TrainConfig:
     plateau_factor: float = 0.1
     plateau_patience: int = 2
     unfreeze_weights: str = "unfrozen_weights"
+    # Freeze mode for the text tower. None (default) mirrors the reference:
+    # one knob drives both towers — BERT/GPT-2 sentence towers follow
+    # unfreeze_weights (multimodalIntraInterModal.py:67-70 passes
+    # train_mode=self.unfreeze_weights; requires_grad=False skips their
+    # backward in torch), while one-hot/tab-transformer/static towers stay
+    # trainable (loadTextModelEncoder's tab-transformer branch never touches
+    # requires_grad). An explicit mode here overrides for any tower. Frozen
+    # leaves are masked in the optimizer AND stop-gradient'd in the step, so
+    # the tower's backward is eliminated (tests/test_frozen_backward.py).
+    text_train_mode: Optional[str] = None
     weighted_sampling: bool = True
     augment: bool = True
     # 'default' (skinLesionDatasets.py:75-112) or 'sentence' — the heavier
@@ -161,6 +171,18 @@ def train_process(
     probe_tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
     state = create_train_state(model, init_rng, sample, probe_tx)
     mask = trainable_mask(state.params, cfg.unfreeze_weights)
+    text_mode = cfg.text_train_mode
+    if text_mode is None and getattr(model, "text_input_mode", "features") == "tokens":
+        # HF sentence towers follow the shared knob, like the reference
+        text_mode = cfg.unfreeze_weights
+    if text_mode and text_mode != "unfrozen_weights":
+        # built-in towers land under "text_tower"; custom modules passed via
+        # text_module= keep that field's auto-name in the param tree
+        text_mask = trainable_mask(
+            state.params, text_mode,
+            frozen_prefixes=("text_tower", "text_module"),
+        )
+        mask = jax.tree_util.tree_map(lambda a, b: a and b, mask, text_mask)
     tx = make_optimizer(cfg.learning_rate, cfg.weight_decay, mask=mask)
     state = dataclasses.replace(state, opt_state=tx.init(state.params))
     if mesh is not None:
@@ -173,7 +195,7 @@ def train_process(
     train_step = make_train_step_weighted(
         model, tx, loss_name=cfg.loss, focal_gamma=cfg.focal_gamma,
         augment=cfg.augment, image_dtype=_dtype(cfg),
-        recipe=cfg.augment_recipe,
+        recipe=cfg.augment_recipe, trainable_mask=mask,
     )
     cw_dev = jnp.asarray(class_weights)
     eval_step = make_eval_step(model, image_dtype=_dtype(cfg))

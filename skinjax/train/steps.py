@@ -22,6 +22,35 @@ from flax import struct
 from skinjax.data.augment import augment_batch
 
 
+def _normalize_mask(trainable_mask):
+    """(mask, hashable fingerprint). An all-True mask is normalized to None so
+    fully-unfrozen configs trace-cache onto the maskless program."""
+    if trainable_mask is None:
+        return None, None
+    leaves, treedef = jax.tree_util.tree_flatten(trainable_mask)
+    leaves = tuple(bool(l) for l in leaves)
+    if all(leaves):
+        return None, None
+    return trainable_mask, (str(treedef), leaves)
+
+
+def _stop_frozen(params, trainable_mask):
+    """stop_gradient on frozen leaves: numerically identical to the optax
+    set_to_zero mask (zero updates either way), and the zeros are symbolic
+    at trace time, so JAX's partial-eval drops the backward through subtrees
+    whose params are all frozen — a frozen BERT tower or a frozen_weights
+    backbone (loadImageModelClassifier.py:14-35) costs only its forward,
+    like the reference's requires_grad=False mode. NOTE (measured,
+    tests/test_frozen_backward.py): XLA's DCE already achieves the same
+    elimination from the masked optimizer alone inside the fused step —
+    zeros_like(updates) has no data dependence on the grads — so this is a
+    trace-time *guarantee* (and a help to non-fused uses of the grads), not
+    a throughput win over the mask."""
+    return jax.tree_util.tree_map(
+        lambda p, m: p if m else jax.lax.stop_gradient(p), params, trainable_mask
+    )
+
+
 def _cast_metadata(metadata, dtype):
     """Metadata may be a (B, F) float array or a pytree (token dicts, tabular
     dicts). Float leaves follow the compute dtype; integer leaves (token ids,
@@ -74,13 +103,19 @@ def make_train_step(
     augment: bool = True,
     image_dtype=jnp.bfloat16,
     recipe: str = "default",
+    trainable_mask=None,
 ) -> Callable:
     """Returns jitted (state, image_u8, metadata, label, rng) -> (state, loss).
 
     ``recipe='sentence'`` applies the heavier sentence-dataset augmentation
-    (data/augment.py SENTENCE_CFG, skinLesionDatasetsWithBert.py:84-110)."""
+    (data/augment.py SENTENCE_CFG, skinLesionDatasetsWithBert.py:84-110).
+    ``trainable_mask`` (the optimizer's freeze mask) additionally
+    stop-gradients frozen leaves so fully-frozen towers skip their backward
+    (see _stop_frozen)."""
+    trainable_mask, mask_fp = _normalize_mask(trainable_mask)
     try:
-        key = (model, tx, loss_fn, augment, jnp.dtype(image_dtype).name, recipe)
+        key = (model, tx, loss_fn, augment, jnp.dtype(image_dtype).name,
+               recipe, mask_fp)
         cached = _TRAIN_STEP_CACHE.get(key)
         if cached is not None:
             return cached
@@ -94,6 +129,8 @@ def make_train_step(
         metadata = _cast_metadata(metadata, image_dtype)
 
         def loss_of(params):
+            if trainable_mask is not None:
+                params = _stop_frozen(params, trainable_mask)
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -137,18 +174,21 @@ def make_train_step_weighted(
     augment: bool = True,
     image_dtype=jnp.bfloat16,
     recipe: str = "default",
+    trainable_mask=None,
 ) -> Callable:
     """Trace-cacheable train step: class weights are a CALL argument, so folds
     with different class distributions share one compiled program.
 
     Returns jitted (state, image_u8, metadata, label, rng, class_weights)
-    -> (state, loss)."""
+    -> (state, loss). ``trainable_mask`` stop-gradients frozen leaves so
+    fully-frozen towers skip their backward (see _stop_frozen)."""
     from skinjax.train.losses import weighted_loss
 
     wloss = weighted_loss(loss_name, focal_gamma)
+    trainable_mask, mask_fp = _normalize_mask(trainable_mask)
     try:
         key = ("w", model, tx, loss_name, focal_gamma, augment,
-               jnp.dtype(image_dtype).name, recipe)
+               jnp.dtype(image_dtype).name, recipe, mask_fp)
         cached = _TRAIN_STEP_CACHE.get(key)
         if cached is not None:
             return cached
@@ -162,6 +202,8 @@ def make_train_step_weighted(
         metadata = _cast_metadata(metadata, image_dtype)
 
         def loss_of(params):
+            if trainable_mask is not None:
+                params = _stop_frozen(params, trainable_mask)
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
