@@ -32,12 +32,15 @@ def time_step(model, metadata, B, nclasses=6):
              "metadata": metadata,
              "label": rng.integers(0, nclasses, B).astype(np.int32)}
     tx = make_optimizer(5e-5, 1e-4)
-    cpu = jax.devices("cpu")[0]
     small = {k: (jax.tree_util.tree_map(lambda a: a[:2], v)
                  if isinstance(v, dict) else v[:2]) for k, v in batch.items()}
-    with jax.default_device(cpu):
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            state = create_train_state(model, jax.random.key(0), small, tx)
+        state = jax.device_put(state, jax.devices()[0])
+    except Exception:
         state = create_train_state(model, jax.random.key(0), small, tx)
-    state = jax.device_put(state, jax.devices()[0])
     loss_fn = make_loss_fn("weighted_ce", np.ones(nclasses, np.float32))
     im = jnp.asarray(batch["image"])
     md = jax.tree_util.tree_map(jnp.asarray, batch["metadata"])

@@ -152,7 +152,8 @@ def main():
         pass
     try:
         swin = MultimodalModel(
-            num_classes=6, num_heads=8, cnn_model_name="swin_tiny",
+            num_classes=6, num_heads=8,
+            cnn_model_name="swin_tiny_patch4_window7_224",
             text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
             attention_mechanism="att-intramodal+residual+cross-attention-metadados",
             dtype=jnp.bfloat16,

@@ -25,6 +25,7 @@ parity tests); the module integration is ``davit.DaViTWindowAttention`` /
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -567,7 +568,10 @@ def _strip_remap(t, idx):
 
 
 def _strip_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int,
-               window: int):
+               window: int, iface=None):
+    if (iface or os.environ.get("SKINJAX_WA_IFACE", "6d")) == "4d":
+        return _strip_fwd4(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                           num_heads=num_heads, window=window)
     B, H, W, C = x.shape
     w = window
     nH, nW = H // w, W // w
@@ -618,23 +622,29 @@ def _strip_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int,
     return y6.reshape(B, H, W, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def window_attention_nhwc(x, wqkv, bqkv, wproj, bproj, bias, mask,
-                          num_heads, window):
+                          num_heads, window, iface=None):
     """Fused window MHA straight on the NHWC map. x (B, H, W, C) with H, W
     divisible by ``window``. ``bias``: (h, N, N) additive rel-pos bias or
     None (differentiable — Swin). ``mask``: (nH*nW, N, N) PER-WINDOW
     additive mask or None (shifted windows; constant). Forward does ONE HBM
     read of x and one write of y; backward reuses the split core and
-    accumulates dbias in-kernel."""
+    accumulates dbias in-kernel.
+
+    ``iface``: "6d" (window-view blocks; XLA repacks the tile-padded 7-dims
+    at kernel boundaries) or "4d" (NHWC strip blocks; unaligned in-VMEM
+    window assembly). Measured per family (docs/DESIGN.md §5b-r3c): a wash
+    for DaViT (no bias/mask), +7% for Swin — callers pick; None reads
+    SKINJAX_WA_IFACE (default 6d)."""
     return _strip_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
-                      num_heads=num_heads, window=window)
+                      num_heads=num_heads, window=window, iface=iface)
 
 
 def _wa_nhwc_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, num_heads,
-                 window):
+                 window, iface=None):
     y = _strip_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask,
-                   num_heads=num_heads, window=window)
+                   num_heads=num_heads, window=window, iface=iface)
     return y, (x, wqkv, bqkv, wproj, bias, mask)
 
 
@@ -741,9 +751,12 @@ def _strip_bwd_kernel(x_ref, dy_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 
 def _strip_bwd(x, dy, wqkv, bqkv, wproj, bias, mask, *, num_heads: int,
-               window: int):
+               window: int, iface=None):
     """Returns (dqkv, of, dbias) in NHWC layout: (B, H, W, 3C),
     (B, H, W, C) and (h, N, N) (or None without bias)."""
+    if (iface or os.environ.get("SKINJAX_WA_IFACE", "6d")) == "4d":
+        return _strip_bwd4(x, dy, wqkv, bqkv, wproj, bias, mask,
+                           num_heads=num_heads, window=window)
     B, H, W, C = x.shape
     w = window
     nH, nW = H // w, W // w
@@ -814,7 +827,7 @@ def _strip_bwd(x, dy, wqkv, bqkv, wproj, bias, mask, *, num_heads: int,
     return (dqkv6.reshape(B, H, W, 3 * C), of6.reshape(B, H, W, C), dbias)
 
 
-def _wa_nhwc_bwd(num_heads, window, res, dy):
+def _wa_nhwc_bwd(num_heads, window, iface, res, dy):
     """All-flat backward: the strip core emits dqkv/of in NHWC, so the
     projection/weight grads are plain (B·H·W, C) matmuls — no window
     partition/reverse, no 49->64 pads, no layout copies (the XLA path this
@@ -823,7 +836,8 @@ def _wa_nhwc_bwd(num_heads, window, res, dy):
     B, H, W, C = x.shape
     f32 = jnp.float32
     dqkv6, of6, dbias = _strip_bwd(x, dy, wqkv, bqkv, wproj, bias, mask,
-                                   num_heads=num_heads, window=window)
+                                   num_heads=num_heads, window=window,
+                                   iface=iface)
     xf = x.reshape(B * H * W, C)
     dyf = dy.reshape(B * H * W, C)
     dqkvf = dqkv6.reshape(B * H * W, 3 * C)
@@ -844,6 +858,282 @@ def _wa_nhwc_bwd(num_heads, window, res, dy):
         dbias.astype(bias.dtype) if bias is not None else None,
         None,
     )
+
+
+# ---------------------------------------------------------------------------
+# 4-D NHWC kernel interface (SKINJAX_WA_IFACE=4d)
+# ---------------------------------------------------------------------------
+#
+# The 6-D (B, nH, w, nW, w, C) interface above is mathematically a free view
+# of NHWC, but PHYSICALLY the TPU's (8,128) tiling pads the w=7 sublane dims,
+# so XLA must repack at every kernel boundary (x/dy input copies + dqkv/of/y
+# output reshapes — measured ~2.4 ms/step on davit_tiny B=64). This variant
+# blocks the kernel directly on the 4-D NHWC tensor — (SB, w, W, C) strips,
+# no 7-dim ever materialized in HBM — and moves the misalignment into VMEM:
+# window j's rows live at W-offset j*w, which is sublane-UNALIGNED for odd j,
+# so the in-VMEM assembly loads/stores pay Mosaic shift lowerings instead of
+# the HBM repack round trips.
+
+def _strip_fwd_kernel4(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                       bias_ref, mask_ref, y_ref, xp_ref, *, h: int, w: int,
+                       wr: int, has_bias: bool, has_mask: bool):
+    SB, _, Wd, C = x_ref.shape
+    nW = Wd // w
+    hd = C // h
+    Np = w * wr
+    NW = SB * nW
+    scale = hd ** -0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+    keypad = jnp.where(col % wr < w, 0.0, -1e9).astype(jnp.float32)
+
+    xp_ref[:] = jnp.zeros_like(xp_ref)
+    for bb in range(SB):
+        for j in range(nW):
+            base = (bb * nW + j) * Np
+            for r in range(w):
+                xp_ref[base + r * wr: base + r * wr + w, :] = (
+                    x_ref[bb, r, j * w:(j + 1) * w, :])
+
+    qkv = (
+        jnp.dot(xp_ref[:], wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype).reshape(NW, Np, 3 * C)
+
+    outs = []
+    for hi in range(h):
+        q = qkv[..., hi * hd:(hi + 1) * hd]
+        k = qkv[..., C + hi * hd:C + (hi + 1) * hd]
+        v = qkv[..., 2 * C + hi * hd:2 * C + (hi + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + keypad[None]
+        if has_bias:
+            s = s + bias_ref[hi].astype(jnp.float32)[None]
+        if has_mask:
+            s = (s.reshape(SB, nW, Np, Np)
+                 + mask_ref[0].astype(jnp.float32)[None]).reshape(NW, Np, Np)
+        p = jax.nn.softmax(s, axis=-1).astype(x_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    of = jnp.concatenate(outs, axis=-1).astype(x_ref.dtype).reshape(
+        NW * Np, C)
+    y = (
+        jnp.dot(of, wproj_ref[:], preferred_element_type=jnp.float32)
+        + bproj_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype).reshape(NW, Np, C)
+    for bb in range(SB):
+        for j in range(nW):
+            for r in range(w):
+                y_ref[bb, r, j * w:(j + 1) * w, :] = (
+                    y[bb * nW + j, r * wr:r * wr + w, :])
+
+
+def _strip_fwd4(x, wqkv, bqkv, wproj, bproj, bias, mask, *, num_heads: int,
+                window: int):
+    B, H, W, C = x.shape
+    w = window
+    nH, nW = H // w, W // w
+    wr = -(-w // 8) * 8
+    Np = w * wr
+    SB = _pick_sb(B, nW, Np, C, x.dtype.itemsize, num_heads)
+    has_bias = bias is not None
+    has_mask = mask is not None
+    idx = jnp.asarray(_strip_remap_idx(w, wr))
+    bias_in = (_strip_remap(bias, idx).astype(jnp.float32) if has_bias
+               else jnp.zeros((1, 1, 1), jnp.float32))
+    mask_in = (_strip_remap(mask, idx).astype(jnp.float32).reshape(
+        nH, nW, Np, Np) if has_mask
+        else jnp.zeros((1, 1, 1, 1), jnp.float32))
+
+    kernel = functools.partial(_strip_fwd_kernel4, h=num_heads, w=w, wr=wr,
+                               has_bias=has_bias, has_mask=has_mask)
+    blk = pl.BlockSpec((SB, w, W, C), lambda b, i: (b, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    rep2 = lambda b, i: (0, 0)
+    rep1 = lambda b, i: (0,)
+    rep3 = lambda b, i: (0, 0, 0)
+    mask_spec = (pl.BlockSpec((1, nW, Np, Np), lambda b, i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if has_mask else
+                 pl.BlockSpec(mask_in.shape, lambda b, i: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // SB, nH),
+        in_specs=[
+            blk,
+            pl.BlockSpec((C, 3 * C), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_in.shape, rep3, memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((SB * nW * Np, C), x.dtype)],
+        interpret=_interpret(),
+    )(x, wqkv, bqkv, wproj, bproj, bias_in, mask_in)
+
+
+def _strip_bwd_kernel4(x_ref, dy_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                       bias_ref, mask_ref, dqkv_ref, of_ref, dbias_ref,
+                       xp_ref, dyp_ref, *, h: int, w: int,
+                       wr: int, has_bias: bool, has_mask: bool):
+    SB, _, Wd, C = x_ref.shape
+    nW = Wd // w
+    hd = C // h
+    Np = w * wr
+    NW = SB * nW
+    scale = hd ** -0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+    keypad = jnp.where(col % wr < w, 0.0, -1e9).astype(jnp.float32)
+
+    xp_ref[:] = jnp.zeros_like(xp_ref)
+    dyp_ref[:] = jnp.zeros_like(dyp_ref)
+    for bb in range(SB):
+        for j in range(nW):
+            base = (bb * nW + j) * Np
+            for r in range(w):
+                xp_ref[base + r * wr: base + r * wr + w, :] = (
+                    x_ref[bb, r, j * w:(j + 1) * w, :])
+                dyp_ref[base + r * wr: base + r * wr + w, :] = (
+                    dy_ref[bb, r, j * w:(j + 1) * w, :])
+
+    qkv = (
+        jnp.dot(xp_ref[:], wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype).reshape(NW, Np, 3 * C)
+    do = jax.lax.dot_general(
+        dyp_ref[:], wproj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x_ref.dtype).reshape(NW, Np, C)
+
+    if has_bias:
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _zero_dbias():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    dqs, dks, dvs, ofs = [], [], [], []
+    for hi in range(h):
+        q = qkv[..., hi * hd:(hi + 1) * hd]
+        k = qkv[..., C + hi * hd:C + (hi + 1) * hd]
+        v = qkv[..., 2 * C + hi * hd:2 * C + (hi + 1) * hd]
+        do_h = do[..., hi * hd:(hi + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + keypad[None]
+        if has_bias:
+            s = s + bias_ref[hi].astype(jnp.float32)[None]
+        if has_mask:
+            nWm = mask_ref.shape[1]
+            s = (s.reshape(NW // nWm, nWm, Np, Np)
+                 + mask_ref[0].astype(jnp.float32)[None]).reshape(NW, Np, Np)
+        p = jax.nn.softmax(s, axis=-1)
+        pb = p.astype(x_ref.dtype)
+        ofs.append(jax.lax.dot_general(
+            pb, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dvs.append(jax.lax.dot_general(
+            pb, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dp = jax.lax.dot_general(
+            do_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dsp = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if has_bias:
+            dbias_ref[hi] += jnp.sum(dsp, axis=0)
+        ds = (dsp * scale).astype(x_ref.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+        dks.append(jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    dqkv = jnp.concatenate(
+        dqs + dks + dvs, axis=-1).astype(x_ref.dtype)  # (NW, Np, 3C)
+    of = jnp.concatenate(ofs, axis=-1).astype(x_ref.dtype)
+    for bb in range(SB):
+        for j in range(nW):
+            win = bb * nW + j
+            for r in range(w):
+                sl = slice(r * wr, r * wr + w)
+                dqkv_ref[bb, r, j * w:(j + 1) * w, :] = dqkv[win, sl, :]
+                of_ref[bb, r, j * w:(j + 1) * w, :] = of[win, sl, :]
+
+
+def _strip_bwd4(x, dy, wqkv, bqkv, wproj, bias, mask, *, num_heads: int,
+                window: int):
+    """Same contract as _strip_bwd: (dqkv (B,H,W,3C), of (B,H,W,C), dbias)
+    — already in 4-D NHWC, so the reshapes at the call site are free."""
+    B, H, W, C = x.shape
+    w = window
+    nH, nW = H // w, W // w
+    wr = -(-w // 8) * 8
+    Np = w * wr
+    SB = _pick_sb(B, nW, Np, 3 * C, x.dtype.itemsize, num_heads)
+    has_bias = bias is not None
+    has_mask = mask is not None
+    idx = jnp.asarray(_strip_remap_idx(w, wr))
+    bias_in = (_strip_remap(bias, idx).astype(jnp.float32) if has_bias
+               else jnp.zeros((1, 1, 1), jnp.float32))
+    mask_in = (_strip_remap(mask, idx).astype(jnp.float32).reshape(
+        nH, nW, Np, Np) if has_mask
+        else jnp.zeros((1, 1, 1, 1), jnp.float32))
+
+    kernel = functools.partial(_strip_bwd_kernel4, h=num_heads, w=w, wr=wr,
+                               has_bias=has_bias, has_mask=has_mask)
+    blk = pl.BlockSpec((SB, w, W, C), lambda b, i: (b, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((SB, w, W, 3 * C), lambda b, i: (b, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rep2 = lambda b, i: (0, 0)
+    rep1 = lambda b, i: (0,)
+    rep3 = lambda b, i: (0, 0, 0)
+    mask_spec = (pl.BlockSpec((1, nW, Np, Np), lambda b, i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if has_mask else
+                 pl.BlockSpec(mask_in.shape, lambda b, i: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM))
+    dbias_shape = (num_heads, Np, Np) if has_bias else (1, 1, 1)
+    dqkv4, of4, dbias_p = pl.pallas_call(
+        kernel,
+        grid=(B // SB, nH),
+        in_specs=[
+            blk, blk,
+            pl.BlockSpec((C, 3 * C), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_in.shape, rep3, memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=[blk3, blk,
+                   pl.BlockSpec(dbias_shape, rep3,
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, 3 * C), x.dtype),
+            jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+            jax.ShapeDtypeStruct(dbias_shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SB * nW * Np, C), x.dtype),
+            pltpu.VMEM((SB * nW * Np, C), x.dtype),
+        ],
+        interpret=_interpret(),
+    )(x, dy, wqkv, bqkv, wproj, bias_in, mask_in)
+    dbias = None
+    if has_bias:
+        idx2 = jnp.asarray(
+            [(n // w) * wr + (n % w) for n in range(w * w)], jnp.int32)
+        dbias = _strip_remap(dbias_p, idx2)
+    return dqkv4, of4, dbias
 
 
 window_attention_nhwc.defvjp(_wa_nhwc_fwd, _wa_nhwc_bwd)
