@@ -37,12 +37,24 @@ def _torch_cpu_baseline() -> float:
     return float("nan")
 
 
-def _train_throughput(model, batch_size, loss_classes=6):
-    """Warm up + time the jitted full train step; returns images/sec."""
+def _train_throughput(model, batch_size, loss_classes=6, freeze=False):
+    """Warm up + time the jitted full train step; returns images/sec.
+
+    ``freeze=True`` runs the backbone-frozen mode — the reference
+    MultimodalModel's DEFAULT (multimodalIntraInterModal.py:25
+    unfreeze_weights="frozen_weights"): the frozen backward is eliminated
+    (train/steps.py _stop_frozen)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from skinjax.train import make_loss_fn, make_optimizer, make_train_step
+    from skinjax.train import (
+        make_loss_fn,
+        make_optimizer,
+        make_train_step,
+        trainable_mask,
+    )
     from skinjax.train.steps import create_train_state
 
     rng = np.random.default_rng(0)
@@ -64,9 +76,15 @@ def _train_throughput(model, batch_size, loss_classes=6):
     except Exception:
         state = create_train_state(model, jax.random.key(0), batch, tx)
 
+    mask = None
+    if freeze:
+        mask = trainable_mask(state.params, "frozen_weights")
+        tx = make_optimizer(5e-5, 1e-4, mask=mask)
+        state = dataclasses.replace(state, opt_state=tx.init(state.params))
+
     loss_fn = make_loss_fn("weighted_ce", np.ones(loss_classes, np.float32))
     step = make_train_step(model, tx, loss_fn, augment=True,
-                           image_dtype=jnp.bfloat16)
+                           image_dtype=jnp.bfloat16, trainable_mask=mask)
     im = jnp.asarray(batch["image"])
     md = jnp.asarray(batch["metadata"])
     lb = jnp.asarray(batch["label"])
@@ -137,6 +155,12 @@ def main():
     extras = {}
     try:
         extras["infer_p50_ms"] = round(_infer_p50(flagship, state), 1)
+    except Exception:
+        pass
+    try:
+        # reference-default train mode: backbone frozen
+        frozen_ips, _ = _train_throughput(flagship, BATCH, freeze=True)
+        extras["flagship_frozen_images_per_sec"] = round(frozen_ips, 1)
     except Exception:
         pass
     try:
