@@ -162,6 +162,33 @@ def _swin_attn_mask(H: int, W: int, w: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def _export_compat() -> bool:
+    """True while the native ONNX exporter is tracing (set by
+    serve/onnx_export.export_onnx): multi-axis jnp.roll and multi-axis
+    strided fancy indexing lower to 2-axis GATHERs the emitter cannot
+    express, so the modules switch to Slice/Concat forms — identical math,
+    but measured ~5% slower on the v5e (gather-roll 1008 vs concat-roll
+    957 img/s on swin_tiny B=64), so the gather forms stay the compute
+    default."""
+    return os.environ.get("SKINJAX_EXPORT_COMPAT", "") == "1"
+
+
+def _roll_axis(x, shift: int, axis: int):
+    """np.roll semantics via split+concat (ONNX-expressible form)."""
+    n = x.shape[axis]
+    shift %= n
+    if shift == 0:
+        return x
+    a, b = jnp.split(x, [n - shift], axis=axis)
+    return jnp.concatenate([b, a], axis=axis)
+
+
+def _roll2(x, shift: int):
+    if _export_compat():
+        return _roll_axis(_roll_axis(x, shift, 1), shift, 2)
+    return jnp.roll(x, (shift, shift), axis=(1, 2))
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -178,7 +205,7 @@ class SwinBlock(nn.Module):
         shift = self.shift if (H > self.window or W > self.window) else 0
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            y = _roll2(y, -shift)
             mask = jnp.asarray(_swin_attn_mask(H, W, self.window, shift))
         else:
             mask = None
@@ -198,7 +225,7 @@ class SwinBlock(nn.Module):
             )(y, mask)
             y = window_reverse(y, self.window, H, W)
         if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            y = _roll2(y, shift)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return x + Mlp(self.dim, dtype=self.dtype, name="mlp")(y)
@@ -213,11 +240,19 @@ class SwinPatchMerge(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x0 = x[:, 0::2, 0::2]
-        x1 = x[:, 1::2, 0::2]
-        x2 = x[:, 0::2, 1::2]
-        x3 = x[:, 1::2, 1::2]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        if _export_compat():
+            # jnp's x[:, 0::2, 0::2] multi-axis strided indexing lowers to
+            # a 2-axis GATHER the ONNX emitter cannot express; lax.slice is
+            # the identical op and exports as ONNX Slice
+            def s2(dh, dw):
+                return jax.lax.slice(x, (0, dh, dw, 0), x.shape, (1, 2, 2, 1))
+
+            x = jnp.concatenate(
+                [s2(0, 0), s2(1, 0), s2(0, 1), s2(1, 1)], axis=-1)
+        else:
+            x = jnp.concatenate(
+                [x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                 x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)

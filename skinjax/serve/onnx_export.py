@@ -21,6 +21,7 @@ the numpy evaluator in ``onnx_runtime.py`` against ``model.apply`` logits.
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -131,6 +132,12 @@ def _convert_eqn(b: _Builder, eqn, eqn2, env: Dict, read: Callable) -> None:
     if prim == "rsqrt":
         s = b.add_node("Sqrt", [read(eqn.invars[0])])[0]
         write(eqn.outvars[0], b.add_node("Reciprocal", [s])[0])
+        return
+    if prim == "erfc":
+        # no ONNX Erfc: erfc(x) = 1 - erf(x) (exact-GELU lowers via erfc)
+        e = b.add_node("Erf", [read(eqn.invars[0])])[0]
+        one = b.const(np.asarray(1.0, np.float32))
+        write(eqn.outvars[0], b.add_node("Sub", [one, e])[0])
         return
     if prim == "integer_pow":
         x = read(eqn.invars[0])
@@ -326,6 +333,71 @@ def _convert_eqn(b: _Builder, eqn, eqn2, env: Dict, read: Callable) -> None:
             pool = b.add_node("Mul", [pool, cnt])[0]
         write(eqn.outvars[0], _to_nhwc(b, pool))
         return
+    if prim == "split":
+        axis = int(params["axis"])
+        sizes = [int(s) for s in params["sizes"]]
+        sizes2 = [int(s) for s in eqn2.params["sizes"]]
+        if sizes != sizes2:
+            raise NotImplementedError("split along a batch-scaled dim")
+        xin = read(eqn.invars[0])
+        off = 0
+        for ov, sz in zip(eqn.outvars, sizes):
+            out = b.add_node("Slice", [
+                xin, b.ints([off], "starts"), b.ints([off + sz], "ends"),
+                b.ints([axis], "axes"), b.ints([1], "steps"),
+            ])[0]
+            write(ov, out)
+            off += sz
+        return
+    if prim == "iota":
+        # no inputs: materialize as a constant initializer (shifted-window
+        # mask construction uses broadcasted_iota over static shapes)
+        shape = tuple(int(s) for s in params["shape"])
+        dim = int(params["dimension"])
+        dt = np.dtype(params["dtype"])
+        if dt.name == "bfloat16":
+            dt = np.dtype(np.float32)
+        arr = np.arange(shape[dim], dtype=dt).reshape(
+            [shape[d] if d == dim else 1 for d in range(len(shape))])
+        write(eqn.outvars[0],
+              b.const(np.ascontiguousarray(np.broadcast_to(arr, shape))))
+        return
+    if prim == "gather":
+        # restricted to the single-axis take pattern (jnp.take(t, idx,
+        # axis=a) — e.g. the Swin rel-pos bias table lookup): one indexed
+        # dim with size-1 slices, full slices everywhere else -> ONNX
+        # Gather(axis=a).
+        dn = params["dimension_numbers"]
+        op_shape = _shape(eqn.invars[0])
+        slice_sizes = tuple(int(s) for s in params["slice_sizes"])
+        smap = tuple(dn.start_index_map)
+        collapsed = tuple(dn.collapsed_slice_dims)
+        no_batch = (not getattr(dn, "operand_batching_dims", ())
+                    and not getattr(dn, "start_indices_batching_dims", ()))
+        if (no_batch and len(smap) == 1 and collapsed == smap
+                and slice_sizes[smap[0]] == 1
+                and all(slice_sizes[d] == op_shape[d]
+                        for d in range(len(op_shape)) if d != smap[0])):
+            axis = smap[0]
+            idx_shape = _shape(eqn.invars[1])
+            # indices carry a trailing size-1 "index vector" dim: drop it
+            idx = read(eqn.invars[1])
+            if idx_shape and idx_shape[-1] == 1:
+                shp = b.const(
+                    np.asarray(idx_shape[:-1] or (1,), np.int64))
+                idx = b.add_node("Reshape", [idx, shp])[0]
+            idx = b.add_node("Cast", [idx], to=int(P.NP_TO_ONNX[
+                np.dtype(np.int64)]))[0]
+            out = b.add_node("Gather", [read(eqn.invars[0]), idx],
+                             axis=axis)[0]
+            # offset dims may need reordering only when the indexed axis is
+            # not where ONNX Gather puts the index dims; the take pattern
+            # keeps jax's output order identical to ONNX's
+            write(eqn.outvars[0], out)
+            return
+        raise NotImplementedError(
+            f"ONNX export: general gather unsupported (dn={dn}, "
+            f"slice_sizes={slice_sizes})")
     if prim in ("pjit", "jit", "closed_call", "core_call", "remat",
                 "checkpoint", "custom_jvp_call", "custom_vjp_call",
                 "custom_jvp_call_jaxpr"):
@@ -377,12 +449,25 @@ def export_onnx(
     Matches /root/reference/src/scripts/others/export_model_onnx.py:32-46:
     named image/text_metadata inputs, logits output, dynamic batch dim.
     """
-    closed = jax.make_jaxpr(fn)(*example_args)
-    if dynamic_batch:
-        args2 = [np.concatenate([_np(a)] * 2, axis=0) for a in example_args]
-        closed2 = jax.make_jaxpr(fn)(*args2)
-    else:
-        closed2 = closed
+    # SKINJAX_EXPORT_COMPAT: modules that would trace to 2-axis gathers
+    # (multi-axis roll / strided fancy indexing) switch to their
+    # Slice/Concat forms while the exporter traces (transformer_zoo
+    # _export_compat — identical math, emitter-expressible)
+    prev_compat = os.environ.get("SKINJAX_EXPORT_COMPAT")
+    os.environ["SKINJAX_EXPORT_COMPAT"] = "1"
+    try:
+        closed = jax.make_jaxpr(fn)(*example_args)
+        if dynamic_batch:
+            args2 = [np.concatenate([_np(a)] * 2, axis=0)
+                     for a in example_args]
+            closed2 = jax.make_jaxpr(fn)(*args2)
+        else:
+            closed2 = closed
+    finally:
+        if prev_compat is None:
+            os.environ.pop("SKINJAX_EXPORT_COMPAT", None)
+        else:
+            os.environ["SKINJAX_EXPORT_COMPAT"] = prev_compat
     jaxpr, jaxpr2 = closed.jaxpr, closed2.jaxpr
     b = _Builder()
     env: Dict = {}

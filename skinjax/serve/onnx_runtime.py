@@ -141,6 +141,8 @@ def run_model(data: bytes, feeds: Dict[str, np.ndarray],
             r = np.broadcast_to(i[0], [int(d) for d in i[1]]).copy()
         elif op == "Concat":
             r = np.concatenate(i, axis=a["axis"])
+        elif op == "Gather":
+            r = np.take(i[0], i[1].astype(np.int64), axis=a.get("axis", 0))
         elif op == "Slice":
             starts, ends, axes, steps = (list(map(int, t)) for t in i[1:5])
             sl = [slice(None)] * i[0].ndim

@@ -232,6 +232,21 @@ class TestShapeOps:
                      attrs=dict(axis=-1))
         check(got, f32([[1, 3], [2, 4]]))
 
+    def test_gather_axis0(self):
+        # ONNX spec: output[i..., j...] = data[indices[i...], j...]
+        got = run_op("Gather",
+                     {"x": f32([[1, 2], [3, 4], [5, 6]])},
+                     inits=dict(idx=i64([[2, 0], [1, 1]])),
+                     attrs=dict(axis=0))
+        check(got, f32([[[5, 6], [1, 2]], [[3, 4], [3, 4]]]))
+
+    def test_gather_axis1(self):
+        got = run_op("Gather",
+                     {"x": f32([[1, 2, 3], [4, 5, 6]])},
+                     inits=dict(idx=i64([2, 0])),
+                     attrs=dict(axis=1))
+        check(got, f32([[3, 1], [6, 4]]))
+
 
 # -- Reductions ---------------------------------------------------------------
 

@@ -1,0 +1,69 @@
+"""ONNX export of the transformer backbones (DaViT / Swin) through the
+native emitter + in-house evaluator. Extends the reference export contract
+(export_model_onnx.py:32-46) to the timm-layout families — needs the XLA
+window path (no Pallas custom calls in the exported graph), the erfc
+(exact GELU), iota (shifted-window masks), and take-pattern gather
+(rel-pos bias table) primitives, and the Slice/Concat forms of roll and
+patch merging."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _export_and_check(model_fn, x, atol):
+    from skinjax.serve.onnx_export import export_onnx
+    from skinjax.serve.onnx_runtime import run_model
+
+    by = export_onnx(model_fn, (x,), input_names=("image",))
+    got = run_model(by, {"image": np.asarray(x)})
+    out = list(got.values())[0] if isinstance(got, dict) else got[0]
+    ref = np.asarray(model_fn(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=atol)
+    return by
+
+
+@pytest.fixture(autouse=True)
+def _xla_window_path(monkeypatch):
+    monkeypatch.setenv("SKINJAX_WINATTN", "")
+
+
+def test_davit_onnx_export_parity():
+    from skinjax.models.backbones.davit import DaViT
+
+    model = DaViT(dims=(16, 32, 64, 128), depths=(1, 1, 1, 1),
+                  heads=(2, 2, 2, 2), fused_attn=False, einsum_attn=False,
+                  strip_attn=False)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 224, 224, 3)), jnp.float32)
+    v = model.init(jax.random.key(0), x)
+    _export_and_check(lambda img: model.apply(v, img), x, atol=1e-4)
+
+
+def test_swin_onnx_export_parity():
+    """Covers rel-pos bias gather, shifted-window masks (iota), rolls and
+    patch merging (Slice/Concat)."""
+    from skinjax.models.backbones.transformer_zoo import Swin
+
+    model = Swin(dims=(16, 32, 64, 128), depths=(1, 2, 1, 1),
+                 heads=(2, 2, 2, 2), fused_attn=False, strip_attn=False)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 224, 224, 3)), jnp.float32)
+    v = model.init(jax.random.key(0), x)
+    _export_and_check(
+        lambda img: model.apply(v, img).mean(axis=(1, 2)), x, atol=1e-4)
+
+
+def test_roll_axis_matches_numpy():
+    from skinjax.models.backbones.transformer_zoo import _roll_axis
+
+    r = np.random.default_rng(2).normal(size=(2, 6, 5, 3)).astype(np.float32)
+    for s in (-7, -3, -1, 0, 2, 6, 13):
+        for ax in (1, 2):
+            np.testing.assert_array_equal(
+                np.asarray(_roll_axis(jnp.asarray(r), s, ax)),
+                np.roll(r, s, axis=ax))
