@@ -461,6 +461,15 @@ def export_onnx(
             args2 = [np.concatenate([_np(a)] * 2, axis=0)
                      for a in example_args]
             closed2 = jax.make_jaxpr(fn)(*args2)
+            if len(closed.jaxpr.eqns) != len(closed2.jaxpr.eqns):
+                # B=1 traces can degenerate (broadcasts/squeezes elided —
+                # ViT/CoaT CLS-token paths): re-base on the doubled batch so
+                # both traces are structurally generic (B=2 vs B=4)
+                example_args = args2
+                closed = closed2
+                args4 = [np.concatenate([_np(a)] * 2, axis=0)
+                         for a in example_args]
+                closed2 = jax.make_jaxpr(fn)(*args4)
         else:
             closed2 = closed
     finally:

@@ -58,6 +58,25 @@ def test_swin_onnx_export_parity():
         lambda img: model.apply(v, img).mean(axis=(1, 2)), x, atol=1e-4)
 
 
+def test_vit_onnx_export_rebase_path():
+    """ViT's CLS-token broadcast degenerates at B=1, so the exporter's
+    B=1-vs-B=2 trace pair diverges structurally; export_onnx re-bases on
+    B=2 vs B=4. Full-size vit_small through the registry."""
+    from skinjax.models.backbones import create_backbone
+
+    bk, _ = create_backbone("vit_small_patch16_224", common_dim=512,
+                            dtype=None)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 224, 224, 3)), jnp.float32)
+    v = bk.init(jax.random.key(0), x)
+
+    def fn(img):
+        out = bk.apply(v, img)
+        return out[:, 0] if out.ndim == 3 else out
+
+    _export_and_check(fn, x, atol=1e-4)
+
+
 def test_roll_axis_matches_numpy():
     from skinjax.models.backbones.transformer_zoo import _roll_axis
 
