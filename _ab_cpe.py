@@ -20,7 +20,6 @@ from skinjax.models import MultimodalModel
 from skinjax.train import make_loss_fn, make_optimizer, make_train_step
 from skinjax.train import steps as steps_mod
 from skinjax.train.steps import create_train_state
-import skinjax.models.backbones.davit as davit_mod
 
 B = int(os.environ.get("AB_B", "64"))
 
@@ -66,10 +65,6 @@ def time_step(model):
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / 20
     return dt * 1000, B / dt, warm
-
-
-# identity probe: same param tree (conv declared on a 3x3 crop), math skipped
-_orig_compact = davit_mod.ConvPosEnc.__call__
 
 
 def run_mode(name, env):

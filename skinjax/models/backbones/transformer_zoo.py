@@ -86,11 +86,12 @@ class WindowAttention(nn.Module):
             bias = self._rel_bias(h).transpose(2, 0, 1).astype(jnp.float32)
             m = mask.astype(jnp.float32) if mask is not None else None
             # 4-D NHWC interface: measured +7% for Swin's bias+mask path
-            # (940 -> 1008 img/s, docs/DESIGN.md §5b-r3c); DaViT keeps 6d
+            # (940 -> 1008 img/s, docs/DESIGN.md §5b-r3c); DaViT keeps 6d.
+            # SKINJAX_WA_IFACE still overrides (A/B harness / fallback).
             return window_attention_nhwc(
                 x.astype(dt), wqkv.astype(dt), bqkv.astype(dt),
                 wproj.astype(dt), bproj.astype(dt), bias, m, h, self.window,
-                "4d",
+                os.environ.get("SKINJAX_WA_IFACE") or "4d",
             )
         nB, N, C = x.shape
         h = self.num_heads

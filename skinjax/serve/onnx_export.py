@@ -353,6 +353,8 @@ def _convert_eqn(b: _Builder, eqn, eqn2, env: Dict, read: Callable) -> None:
         # no inputs: materialize as a constant initializer (shifted-window
         # mask construction uses broadcasted_iota over static shapes)
         shape = tuple(int(s) for s in params["shape"])
+        if shape != tuple(int(s) for s in eqn2.params["shape"]):
+            raise NotImplementedError("iota over a batch-scaled shape")
         dim = int(params["dimension"])
         dt = np.dtype(params["dtype"])
         if dt.name == "bfloat16":
@@ -374,12 +376,22 @@ def _convert_eqn(b: _Builder, eqn, eqn2, env: Dict, read: Callable) -> None:
         collapsed = tuple(dn.collapsed_slice_dims)
         no_batch = (not getattr(dn, "operand_batching_dims", ())
                     and not getattr(dn, "start_indices_batching_dims", ()))
+        idx_shape = _shape(eqn.invars[1])
+        # jnp.take output layout: t.shape[:a] + idx.shape + t.shape[a+1:],
+        # i.e. offset dims occupy [0, a) and [a+idx_ndim, out_rank) — any
+        # other offset placement would make ONNX Gather's output a
+        # transpose of the jax result
+        idx_nd = max(len(idx_shape) - 1, 0)  # trailing index-vector dim
+        out_rank = len(_shape(eqn.outvars[0]))
+        take_offsets = (tuple(range(smap[0])) if smap else ()) + tuple(
+            range((smap[0] if smap else 0) + idx_nd, out_rank))
         if (no_batch and len(smap) == 1 and collapsed == smap
                 and slice_sizes[smap[0]] == 1
+                and tuple(dn.offset_dims) == take_offsets
+                and idx_shape == _shape(eqn2.invars[1])
                 and all(slice_sizes[d] == op_shape[d]
                         for d in range(len(op_shape)) if d != smap[0])):
             axis = smap[0]
-            idx_shape = _shape(eqn.invars[1])
             # indices carry a trailing size-1 "index vector" dim: drop it
             idx = read(eqn.invars[1])
             if idx_shape and idx_shape[-1] == 1:

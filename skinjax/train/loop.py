@@ -173,8 +173,14 @@ def train_process(
     mask = trainable_mask(state.params, cfg.unfreeze_weights)
     text_mode = cfg.text_train_mode
     if text_mode is None and getattr(model, "text_input_mode", "features") == "tokens":
-        # HF sentence towers follow the shared knob, like the reference
-        text_mode = cfg.unfreeze_weights
+        # HF sentence towers follow the shared knob, BINARIZED like the
+        # reference: any mode other than 'unfrozen_weights' freezes the
+        # ENTIRE tower (loadImageModelClassifier.py:174-179 sets
+        # requires_grad=False wholesale — 'partial'/'last_layer' modes
+        # apply only to the image backbone there)
+        text_mode = ("unfrozen_weights"
+                     if cfg.unfreeze_weights == "unfrozen_weights"
+                     else "frozen_weights")
     if text_mode and text_mode != "unfrozen_weights":
         # built-in towers land under "text_tower"; custom modules passed via
         # text_module= keep that field's auto-name in the param tree

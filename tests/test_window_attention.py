@@ -170,14 +170,18 @@ def test_nhwc_strip_forward_parity(B, H, W, C, h):
                                atol=2e-5, rtol=2e-5)
 
 
-def test_nhwc_strip_gradient_parity():
+@pytest.mark.parametrize("iface", ["6d", "4d"])
+def test_nhwc_strip_gradient_parity(iface):
+    """Both kernel interfaces (6-D window view / 4-D NHWC strips) pin their
+    full backward against the reference."""
     from skinjax.ops.pallas.window_attention import window_attention_nhwc
 
     x, wqkv, bqkv, wproj, bproj = _nhwc_setup()
 
     def loss_k(*a):
         return jnp.sum(jnp.sin(
-            window_attention_nhwc(*a, None, None, 3, 7).astype(jnp.float32)))
+            window_attention_nhwc(
+                *a, None, None, 3, 7, iface).astype(jnp.float32)))
 
     def loss_r(*a):
         return jnp.sum(jnp.sin(
@@ -227,9 +231,11 @@ def test_nhwc_strip_bias_mask_forward_parity(B, H, W, C, h):
                                atol=2e-5, rtol=2e-5)
 
 
-def test_nhwc_strip_bias_mask_gradient_parity():
+@pytest.mark.parametrize("iface", ["6d", "4d"])
+def test_nhwc_strip_bias_mask_gradient_parity(iface):
     """dbias accumulates across grid cells in-kernel; all grads match the
-    reference, including the rel-pos bias."""
+    reference, including the rel-pos bias — on both kernel interfaces
+    (the 4-D one is Swin's training default)."""
     from skinjax.ops.pallas.window_attention import window_attention_nhwc
 
     rng = np.random.default_rng(8)
@@ -241,7 +247,8 @@ def test_nhwc_strip_bias_mask_gradient_parity():
 
     def loss_k(x, wqkv, bqkv, wproj, bproj, b):
         return jnp.sum(jnp.sin(window_attention_nhwc(
-            x, wqkv, bqkv, wproj, bproj, b, m, 3, 7).astype(jnp.float32)))
+            x, wqkv, bqkv, wproj, bproj, b, m, 3, 7,
+            iface).astype(jnp.float32)))
 
     def loss_r(x, wqkv, bqkv, wproj, bproj, b):
         return jnp.sum(jnp.sin(_nhwc_bias_mask_reference(
