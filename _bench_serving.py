@@ -77,7 +77,7 @@ for path, img in (("u8 ", img_u8), ("f32", img_f32)):
         # client side / host CPU, not the batching pipeline or the chip
         print(f"{path} clients={clients:2d}: p50={np.percentile(arr, 50):6.1f} ms "
               f"p95={np.percentile(arr, 95):6.1f} ms "
-              f"throughput={len(arr) / 12.0:6.1f} req/s "
+              f"throughput={len(arr) / wall:6.1f} req/s "
               f"(n={len(arr)}) | server: occ={occ:4.1f}/{batcher.max_batch} "
               f"batches={d['batches']} direct={d['direct_requests']} "
               f"fwd={d['forward_s']:5.2f}s idle={d['idle_s']:5.2f}s "

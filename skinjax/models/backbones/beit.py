@@ -153,7 +153,12 @@ class Beit(nn.Module):
     scan_blocks: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, tokens: bool = False):
+    def __call__(self, x, *, train: bool = False, tokens: bool = False,
+                 capture: bool = False, feature_delta=None):
+        """``capture``/``feature_delta``: CAM injection on the final
+        (B, gh, gw, D) patch-token grid — BEiT mean-pools patch tokens
+        (timm ``global_pool='avg'``), so the head reads the grid directly
+        and jax.grad w.r.t. the delta is d(score)/d(grid) (xai/cam.py)."""
         B, H, W, _ = x.shape
         grid = (H // self.patch, W // self.patch)
         x = nn.Conv(self.dim, (self.patch, self.patch),
@@ -182,6 +187,14 @@ class Beit(nn.Module):
                               dtype=self.dtype, name=f"block{i}")(x)
         if tokens:
             return x
+        if capture or feature_delta is not None:
+            gmap = x[:, 1:].reshape(B, *grid, self.dim)
+            if feature_delta is not None:
+                gmap = gmap + feature_delta.astype(gmap.dtype)
+            pooled = gmap.reshape(B, -1, self.dim).mean(axis=1)
+            pooled = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                  name="fc_norm")(pooled)
+            return (pooled, gmap) if capture else pooled
         pooled = x[:, 1:].mean(axis=1)
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="fc_norm")(pooled)
 

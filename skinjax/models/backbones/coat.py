@@ -94,8 +94,15 @@ class CoaTLite(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False,
+                 capture: bool = False, feature_delta=None):
+        """``capture``/``feature_delta``: CAM injection on the (B, 7, 7, D)
+        image-token grid ENTERING the final stage-4 serial block — CoaT-lite
+        pools the stage-4 CLS token, so the delta must precede the last
+        token mixing to be visible to the read-out (xai/cam.py)."""
         B = x.shape[0]
+        fmap = None
+        last_stage = len(self.dims) - 1
         for si, (dim, depth, ratio) in enumerate(
             zip(self.dims, self.depths, self.mlp_ratios)
         ):
@@ -120,6 +127,15 @@ class CoaTLite(nn.Module):
             h = self.heads
             Ch = dim // h
             for bi in range(depth):
+                if (si == last_stage and bi == depth - 1
+                        and (capture or feature_delta is not None)):
+                    grid = x[:, 1:].reshape(B, H, W, dim)
+                    if feature_delta is not None:
+                        grid = grid + feature_delta.astype(grid.dtype)
+                    fmap = grid
+                    x = jnp.concatenate(
+                        [x[:, :1], grid.reshape(B, H * W, dim)], axis=1
+                    )
                 blk = f"serial{si + 1}_{bi}"
                 x = cpe(x, (H, W))
                 N = x.shape[1]
@@ -156,6 +172,8 @@ class CoaTLite(nn.Module):
             if si < len(self.dims) - 1:
                 x = x[:, 1:].reshape(B, H, W, dim)  # drop cls for next stage
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm4")(x)
+        if capture:
+            return x[:, 0], fmap
         return x[:, 0]
 
 

@@ -157,7 +157,11 @@ class MViTv2(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, tokens: bool = False):
+    def __call__(self, x, *, train: bool = False, tokens: bool = False,
+                 capture: bool = False, feature_delta=None):
+        """``capture``/``feature_delta``: CAM injection on the final normed
+        (B, h, w, D) token grid — MViTv2 mean-pools all tokens (no CLS), so
+        the head reads the grid directly (xai/cam.py)."""
         B = x.shape[0]
         x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4), padding=[(3, 3)] * 2,
                     dtype=self.dtype, name="patch_embed")(x)
@@ -180,6 +184,12 @@ class MViTv2(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if tokens:
             return x.reshape(B, *feat, dim_in)
+        if capture or feature_delta is not None:
+            gmap = x.reshape(B, *feat, dim_in)
+            if feature_delta is not None:
+                gmap = gmap + feature_delta.astype(gmap.dtype)
+            pooled = gmap.reshape(B, -1, dim_in).mean(axis=1)
+            return (pooled, gmap) if capture else pooled
         return x.mean(axis=1)
 
 

@@ -99,8 +99,20 @@ class ViT(nn.Module):
     scan_blocks: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, tokens: bool = False):
-        B = x.shape[0]
+    def __call__(self, x, *, train: bool = False, tokens: bool = False,
+                 capture: bool = False, feature_delta=None):
+        """``capture``/``feature_delta`` expose a spatial (B, gh, gw, D)
+        activation grid for CAM (xai/cam.py). For ``pool='cls'`` the
+        injection point is the patch grid ENTERING the final block (the
+        last token mixing before CLS pooling — a delta on the final grid
+        would be invisible to the CLS read-out); for ``pool='mean'`` it is
+        the post-norm patch grid the head averages. Mirrors the reference's
+        hook-on-last-block practice (gradcam_plusplus.py:169-188)."""
+        if (capture or feature_delta is not None) and self.scan_blocks:
+            raise ValueError("CAM capture requires the loop block layout "
+                             "(scan_blocks=False)")
+        B, H, W, _ = x.shape
+        gh, gw = H // self.patch, W // self.patch
         x = nn.Conv(
             self.dim,
             (self.patch, self.patch),
@@ -130,7 +142,17 @@ class ViT(nn.Module):
             )
             x, _ = body(x, None)
         else:
+            fmap = None
             for i in range(self.depth):
+                if (self.pool == "cls" and i == self.depth - 1
+                        and (capture or feature_delta is not None)):
+                    grid = x[:, 1:].reshape(B, gh, gw, self.dim)
+                    if feature_delta is not None:
+                        grid = grid + feature_delta.astype(grid.dtype)
+                    fmap = grid
+                    x = jnp.concatenate(
+                        [x[:, :1], grid.reshape(B, gh * gw, self.dim)], axis=1
+                    )
                 x = ViTBlock(
                     self.dim, self.num_heads,
                     layerscale_init=self.layerscale_init,
@@ -139,7 +161,15 @@ class ViT(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if tokens:
             return x
-        return x[:, 1:].mean(axis=1) if self.pool == "mean" else x[:, 0]
+        if self.pool == "mean":
+            grid = x[:, 1:].reshape(B, gh, gw, self.dim)
+            if feature_delta is not None:
+                grid = grid + feature_delta.astype(grid.dtype)
+            pooled = grid.reshape(B, gh * gw, self.dim).mean(axis=1)
+            return (pooled, grid) if capture else pooled
+        if capture:
+            return x[:, 0], fmap
+        return x[:, 0]
 
 
 vit_tiny = partial(ViT, dim=192, depth=12, num_heads=3)

@@ -34,8 +34,10 @@ def _feature_map_shape(model, variables, image, metadata) -> Tuple[int, ...]:
     _, aux = model.apply(variables, image, metadata, capture=True)
     if "feature_map" not in aux:
         raise ValueError(
-            "backbone returns no spatial feature map (ViT-style encoder?) — "
-            "CAM requires a conv backbone"
+            "backbone returns no spatial feature map — every registered "
+            "skinjax backbone supports capture/feature_delta; a custom "
+            "encoder must expose those kwargs (see models/backbones/vit.py) "
+            "for the CAM family to work"
         )
     return aux["feature_map"].shape
 
