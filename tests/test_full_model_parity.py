@@ -102,12 +102,18 @@ class TorchMM(nn.Module):
 
 
 def _torch_state_dict(tm: TorchMM):
-    """Rename oracle params to the reference's state_dict naming."""
+    """Rename oracle params to the reference's state_dict naming.
+
+    Copies each tensor: ``.numpy()`` returns a VIEW of the live parameter
+    storage, so torch's in-place optimizer updates would silently mutate the
+    "checkpoint" after import (a real torch.load'ed dict never aliases a
+    live model).
+    """
     sd = {}
     for k, v in tm.state_dict().items():
         k = k.replace("meta_block_fb", "meta_block.fb")
         k = k.replace("meta_block_gb", "meta_block.gb")
-        sd[k] = v.detach().numpy()
+        sd[k] = v.detach().numpy().copy()
     return sd
 
 

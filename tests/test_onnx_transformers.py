@@ -77,6 +77,19 @@ def test_vit_onnx_export_rebase_path():
     _export_and_check(fn, x, atol=1e-4)
 
 
+def test_beit_onnx_export_parity():
+    """BEiT completes the transformer-family export coverage: per-block
+    relative-position bias tables (take-pattern gather on a trace-constant
+    index), layerscale, mean-pooled patch tokens + fc_norm head."""
+    from skinjax.models.backbones.beit import Beit
+
+    model = Beit(dim=32, depth=2, num_heads=2, patch=16)
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, 64, 64, 3)), jnp.float32)
+    v = model.init(jax.random.key(0), x)
+    _export_and_check(lambda img: model.apply(v, img), x, atol=1e-4)
+
+
 def test_roll_axis_matches_numpy():
     from skinjax.models.backbones.transformer_zoo import _roll_axis
 
