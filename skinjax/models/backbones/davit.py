@@ -387,24 +387,40 @@ class DaViT(nn.Module):
     heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 7
     dtype: Optional[jnp.dtype] = None
-    # Pallas fused window attention (ops/pallas/window_attention.py);
-    # default from SKINJAX_WINATTN (read at import time):
+    # Pallas fused window attention (ops/pallas/window_attention.py).
+    # None = auto, resolved at apply time by winattn_mode(): the strip
+    # kernel on TPU (measured +14% over XLA, docs/DESIGN.md §5b-r3), XLA
+    # elsewhere and under ONNX-export tracing. SKINJAX_WINATTN overrides:
     #   pallas     -> strip-blocked NHWC kernel (partition/pad/reverse folded
     #                 into kernel index maps) where H,W divide the window,
     #                 padded-window kernel elsewhere
     #   pallas-pad -> padded-window kernel everywhere (A/B control)
     #   einsum     -> 6-D einsum windows (no partition transposes)
-    fused_attn: bool = os.environ.get(
-        "SKINJAX_WINATTN", "") in ("pallas", "pallas-pad")
-    einsum_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "einsum"
-    strip_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
+    fused_attn: Optional[bool] = None
+    einsum_attn: Optional[bool] = None
+    strip_attn: Optional[bool] = None
     # SKINJAX_CHATTN=pallas: fused channel-attention kernel
-    # (ops/pallas/channel_attention.py) — separate knob for clean A/Bs
-    ch_fused_attn: bool = os.environ.get("SKINJAX_CHATTN", "") == "pallas"
+    # (ops/pallas/channel_attention.py) — measured-refuted lever
+    # (§5b-r3b), stays env-opt-in only; None = off unless the env asks
+    ch_fused_attn: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, features: bool = False,
                  feature_delta=None, capture: bool = False):
+        from skinjax.ops.pallas.window_attention import winattn_mode
+
+        mode = winattn_mode()
+        fused = (self.fused_attn if self.fused_attn is not None
+                 else mode in ("pallas", "pallas-pad"))
+        einsum = (self.einsum_attn if self.einsum_attn is not None
+                  else mode == "einsum")
+        strip = (self.strip_attn if self.strip_attn is not None
+                 else mode == "pallas")
+        if self.ch_fused_attn is not None:
+            ch_fused = self.ch_fused_attn
+        else:  # env-opt-in only; forced off while the ONNX exporter traces
+            ch_fused = (os.environ.get("SKINJAX_CHATTN", "") == "pallas"
+                        and os.environ.get("SKINJAX_EXPORT_COMPAT", "") != "1")
         x = nn.Conv(self.dims[0], (7, 7), strides=(4, 4), padding=[(3, 3)] * 2,
                     dtype=self.dtype, name="stem_conv")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="stem_norm")(x)
@@ -413,12 +429,12 @@ class DaViT(nn.Module):
                 x = DaViTDownsample(dim, dtype=self.dtype, name=f"down{si}")(x)
             for bi in range(depth):
                 x = SpatialBlock(dim, h, self.window, dtype=self.dtype,
-                                 fused_attn=self.fused_attn,
-                                 einsum_attn=self.einsum_attn,
-                                 strip_attn=self.strip_attn,
+                                 fused_attn=fused,
+                                 einsum_attn=einsum,
+                                 strip_attn=strip,
                                  name=f"stage{si}_block{bi}_spatial")(x)
                 x = ChannelBlock(dim, h, dtype=self.dtype,
-                                 fused_attn=self.ch_fused_attn,
+                                 fused_attn=ch_fused,
                                  name=f"stage{si}_block{bi}_channel")(x)
         # CAM support (xai/cam.py): perturb/capture the final spatial map
         # while the pooled head still flows from it, so jax.grad of a class

@@ -272,13 +272,18 @@ class Swin(nn.Module):
     # as an explicit opt-in A/B control. strip_attn (the strip-blocked NHWC
     # kernel, bias/mask folded into the interleaved token layout, no
     # partition relayouts at all) measured 933 vs 715 img/s (+30%,
-    # docs/DESIGN.md §5b-r3) — SKINJAX_WINATTN=pallas is honored again and
-    # routes Swin through it (read at import time, like DaViT).
+    # docs/DESIGN.md §5b-r3). None = auto via winattn_mode(): the strip
+    # kernel on TPU, XLA elsewhere and under ONNX-export tracing;
+    # SKINJAX_WINATTN overrides.
     fused_attn: bool = False
-    strip_attn: bool = os.environ.get("SKINJAX_WINATTN", "") == "pallas"
+    strip_attn: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        from skinjax.ops.pallas.window_attention import winattn_mode
+
+        strip = (self.strip_attn if self.strip_attn is not None
+                 else winattn_mode() == "pallas")
         x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
                     name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
@@ -290,7 +295,7 @@ class Swin(nn.Module):
                 x = SwinBlock(
                     dim, h, self.window, shift, dtype=self.dtype,
                     fused_attn=self.fused_attn,
-                    strip_attn=self.strip_attn,
+                    strip_attn=strip,
                     name=f"stage{si}_block{bi}",
                 )(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)

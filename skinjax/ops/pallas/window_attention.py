@@ -37,6 +37,33 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def winattn_mode() -> str:
+    """Resolve the window-attention implementation default for the zoo
+    wrappers (DaViT/Swin), called at module-apply time so the backend is
+    known.
+
+    - ``SKINJAX_EXPORT_COMPAT`` (the native ONNX exporter is tracing):
+      always "" — the emitter cannot express ``pallas_call``, so the XLA
+      form is forced even over an explicit env override.
+    - ``SKINJAX_WINATTN`` set: returned verbatim ("pallas" strip kernel,
+      "pallas-pad" padded-window kernel, "einsum", anything else = XLA).
+    - unset: "pallas" when the default backend is TPU (measured +14%
+      davit / +30% swin over XLA, docs/DESIGN.md §5b-r3), "" elsewhere
+      (interpret-mode Pallas on CPU is parity-correct but slow).
+    """
+    if os.environ.get("SKINJAX_EXPORT_COMPAT", "") == "1":
+        return ""
+    v = os.environ.get("SKINJAX_WINATTN")
+    if v is not None:
+        return v
+    try:
+        if jax.default_backend() == "tpu":
+            return "pallas"
+    except Exception:  # backend init can fail in exotic harnesses
+        pass
+    return ""
+
+
 _VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
 
 

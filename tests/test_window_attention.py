@@ -296,3 +296,54 @@ def test_davit_module_nhwc_fused_matches_unfused():
     got = fused.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_winattn_mode_resolution(monkeypatch):
+    """Auto default: pallas on TPU, XLA elsewhere; env overrides; the ONNX
+    exporter's trace guard wins over everything (the emitter cannot express
+    pallas_call)."""
+    from skinjax.ops.pallas import window_attention as wa
+
+    monkeypatch.delenv("SKINJAX_WINATTN", raising=False)
+    monkeypatch.delenv("SKINJAX_EXPORT_COMPAT", raising=False)
+    assert wa.winattn_mode() == ""  # tests run on CPU
+
+    monkeypatch.setattr(wa.jax, "default_backend", lambda: "tpu")
+    assert wa.winattn_mode() == "pallas"
+
+    monkeypatch.setenv("SKINJAX_WINATTN", "einsum")
+    assert wa.winattn_mode() == "einsum"
+    monkeypatch.setenv("SKINJAX_WINATTN", "")
+    assert wa.winattn_mode() == ""  # explicit empty = force XLA on TPU
+
+    monkeypatch.setenv("SKINJAX_WINATTN", "pallas")
+    monkeypatch.setenv("SKINJAX_EXPORT_COMPAT", "1")
+    assert wa.winattn_mode() == ""
+
+
+def test_model_level_auto_routes_through_kernel(monkeypatch):
+    """DaViT/Swin with flags unset resolve winattn_mode() at apply time:
+    pallas_call appears in the jaxpr exactly when the mode says pallas,
+    and the output matches the XLA path (same params)."""
+    from skinjax.models.backbones.davit import DaViT
+    from skinjax.models.backbones.transformer_zoo import Swin
+
+    rng = np.random.default_rng(3)
+    for model, size in (
+        (DaViT(dims=(32, 64), depths=(1, 1), heads=(2, 2)), 56),
+        (Swin(dims=(32, 64), depths=(1, 2), heads=(2, 2)), 56),
+    ):
+        x = jnp.asarray(rng.normal(size=(1, size, size, 3)), jnp.float32)
+        monkeypatch.delenv("SKINJAX_WINATTN", raising=False)
+        variables = model.init(jax.random.key(0), x)
+        want = model.apply(variables, x)
+        assert "pallas_call" not in str(
+            jax.make_jaxpr(lambda v, a: model.apply(v, a))(variables, x)
+        )
+        monkeypatch.setenv("SKINJAX_WINATTN", "pallas")
+        assert "pallas_call" in str(
+            jax.make_jaxpr(lambda v, a: model.apply(v, a))(variables, x)
+        )
+        got = model.apply(variables, x)  # interpret-mode kernel on CPU
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=5e-5)
