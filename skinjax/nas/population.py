@@ -23,6 +23,7 @@ the better one).
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections import defaultdict
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
@@ -37,6 +38,7 @@ from skinjax.data.augment import augment_batch
 from skinjax.data.pipeline import prefetch_batches
 from skinjax.data.sampling import compute_class_weights, epoch_batches
 from skinjax.nas.dynamic_model import make_dynamic_model
+from skinjax.nas.search_space import filters_from_config
 from skinjax.nas.supernet import (
     SuperNet,
     candidate_masks,
@@ -97,6 +99,39 @@ def _bucket(configs: Sequence[Dict], keys: Sequence[str]):
     for i, c in enumerate(configs):
         buckets[tuple(dict(c)[k] for k in keys)].append(i)
     return list(buckets.values())
+
+
+def envelope_step_bytes(env, image_hw, batch_size: int) -> int:
+    """Rough per-candidate HBM footprint (bytes) of one supernet train step.
+
+    The f32 conv-pyramid activations dominate (the convs promote bf16
+    images against f32 kernels): one temp per conv layer of H·W·C f32,
+    spatial halving per block under pooling, ×1.25 for GroupNorm/backward
+    residue. Validated against a measured compile report: a 10-block
+    no-pooling envelope at 64×64, B=32, K=8 reported 18.42 GB program HBM
+    (= 72 MB per candidate-sample); this estimator gives 85 MB — slightly
+    conservative, which is the right side to err on (an under-estimate
+    wastes a doomed multi-minute remote compile)."""
+    H, W = int(image_hw[0]), int(image_hw[1])
+    f = filters_from_config(
+        {"num_blocks": env.num_blocks, "initial_filters": env.initial_filters}
+    )
+    n_layers = 2 if env.layers_per_block >= 2 else 1
+    total = 0
+    for bi in range(env.num_blocks):
+        total += n_layers * H * W * f[bi] * 4
+        if env.use_pooling and min(H, W) >= 2:
+            H, W = max(H // 2, 1), max(W // 2, 1)
+    return int(total * 1.25) * int(batch_size)
+
+
+def hbm_width_cap(env, image_hw, batch_size: int) -> int:
+    """Max vmap width for this envelope under the HBM budget
+    (``SKINJAX_POP_HBM_GB``, default 11 GB — a v5e's 15.75 GB minus
+    reserved/params/optimizer headroom)."""
+    budget = float(os.environ.get("SKINJAX_POP_HBM_GB", "11")) * 1e9
+    per = envelope_step_bytes(env, image_hw, batch_size)
+    return max(1, int(budget // max(per, 1)))
 
 
 class PopulationTrainer:
@@ -206,11 +241,29 @@ class PopulationTrainer:
     def _train_bucket(self, configs: List[Dict]) -> List[float]:
         cfg = self.cfg
         n_real = len(configs)
-        if self.pad_width and n_real < self.pad_width:
-            configs = list(configs) + [configs[-1]] * (
-                self.pad_width - n_real
-            )
         env = envelope_of(configs)
+        # HBM-aware width: a wide envelope (e.g. no-pooling × max filters)
+        # can need more activation HBM than the chip has — vmapping it at
+        # full width would waste a doomed multi-minute remote compile and
+        # then fail the whole bucket. Cap the vmap width to what fits and
+        # train oversized buckets in chunks (chunk width is a deterministic
+        # function of the envelope, so compile caching still holds).
+        image_hw = self.train_source.batch(np.arange(1))["image"].shape[1:3]
+        cap = hbm_width_cap(env, image_hw, cfg.batch_size)
+        if n_real > cap:
+            print(f"[nas] bucket of {n_real} capped to vmap width {cap} "
+                  f"(envelope needs ~"
+                  f"{envelope_step_bytes(env, image_hw, cfg.batch_size) / 1e9:.1f}"
+                  f" GB/candidate)")
+            out: List[float] = []
+            for i in range(0, n_real, cap):
+                out.extend(self._train_bucket(configs[i:i + cap]))
+            return out
+        pad_target = min(self.pad_width, cap) if self.pad_width else 0
+        if pad_target and n_real < pad_target:
+            configs = list(configs) + [configs[-1]] * (
+                pad_target - n_real
+            )
         model = SuperNet(
             env, num_classes=self.num_classes, vocab_size=self.vocab_size
         )

@@ -458,3 +458,76 @@ def test_population_vs_sequential_reward_shift_magnitude():
     # the two paths see the same split and the same data; rewards may differ
     # through dropout/augment stream derivation but not systematically
     assert max(shifts) <= 0.35, shifts
+
+
+def test_population_hbm_width_cap_rewards_identical(monkeypatch):
+    """A bucket whose envelope exceeds the HBM budget trains in capped-width
+    chunks; rewards must match the single-vmap bucket. The 4 configs are
+    built so every chunk's envelope equals the full bucket's (per-field
+    maxes and mechanism sets match), making rewards exactly comparable."""
+    from skinjax.nas.population import (
+        envelope_step_bytes,
+        hbm_width_cap,
+    )
+    from skinjax.nas.supernet import envelope_of
+
+    base = dict(CANDIDATES[0])
+    A = dict(base, attention_mecanism="concatenation", common_dim=32,
+             neurons_per_layer_size_of_text_fc=32, num_layers_text_fc=1,
+             num_layers_fc_module=1, neurons_per_layer_size_of_fc_module=32)
+    B = dict(base, attention_mecanism="gfcam", common_dim=64,
+             neurons_per_layer_size_of_text_fc=64, num_layers_text_fc=2,
+             num_layers_fc_module=2, neurons_per_layer_size_of_fc_module=64)
+    C = dict(base, attention_mecanism="concatenation", common_dim=64,
+             neurons_per_layer_size_of_text_fc=32, num_layers_text_fc=2,
+             num_layers_fc_module=1, neurons_per_layer_size_of_fc_module=64)
+    D = dict(base, attention_mecanism="gfcam", common_dim=32,
+             neurons_per_layer_size_of_text_fc=64, num_layers_text_fc=1,
+             num_layers_fc_module=2, neurons_per_layer_size_of_fc_module=32)
+    group = [A, B, C, D]
+    env = envelope_of(group)
+    assert envelope_of([A, B]) == envelope_of([C, D]) == env
+
+    src = synthetic_source(n=48, image_size=(16, 16), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=5)
+    idx = np.arange(len(src))
+    kw = dict(
+        num_classes=CLASSES,
+        config=TrainConfig(num_epochs=2, batch_size=12,
+                           early_stopping_patience=5,
+                           early_stopping_metric="val_bacc",
+                           image_dtype="float32"),
+        vocab_size=VOCAB,
+        exact_init=True,
+    )
+    full = PopulationTrainer(
+        SubsetSource(src, idx[:36]), SubsetSource(src, idx[36:]), **kw)
+    r_full = full.evaluate(group)
+
+    per = envelope_step_bytes(env, (16, 16), 12)
+    monkeypatch.setenv("SKINJAX_POP_HBM_GB", f"{2.5 * per / 1e9:.12f}")
+    assert hbm_width_cap(env, (16, 16), 12) == 2
+    capped = PopulationTrainer(
+        SubsetSource(src, idx[:36]), SubsetSource(src, idx[36:]), **kw)
+    r_capped = capped.evaluate(group)
+    np.testing.assert_allclose(r_full, r_capped, atol=1e-6)
+
+
+def test_envelope_step_bytes_scales():
+    """Pooling shrinks the estimate; width/depth grow it monotonically."""
+    from skinjax.nas.population import envelope_step_bytes
+    from skinjax.nas.supernet import envelope_of
+
+    small = envelope_of([dict(CANDIDATES[0])])
+    nopool = envelope_of([dict(CANDIDATES[0], use_pooling=False)])
+    deep = envelope_of([dict(CANDIDATES[0], num_blocks=5,
+                             initial_filters=64, use_pooling=False)])
+    b = lambda e: envelope_step_bytes(e, (64, 64), 32)
+    assert b(small) < b(nopool) < b(deep)
+    # the measured OOM case: 10-block no-pooling 64-filter env at 64x64,
+    # B=32 — the estimator must flag that K=8 cannot fit 11 GB
+    huge = envelope_of([dict(CANDIDATES[0], num_blocks=10,
+                             initial_filters=64, use_pooling=False,
+                             layers_per_block=2)])
+    from skinjax.nas.population import hbm_width_cap
+    assert hbm_width_cap(huge, (64, 64), 32) < 8
