@@ -1,6 +1,7 @@
 from skinjax.parallel.mesh import (
     batch_sharding,
     create_mesh,
+    fsdp_sharding_rules,
     param_sharding_rules,
     replicated,
     shard_params,
@@ -9,6 +10,7 @@ from skinjax.parallel.mesh import (
 __all__ = [
     "batch_sharding",
     "create_mesh",
+    "fsdp_sharding_rules",
     "param_sharding_rules",
     "replicated",
     "shard_params",

@@ -17,17 +17,27 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from skinjax.parallel.mesh import param_sharding_rules
+from skinjax.parallel.mesh import fsdp_sharding_rules, param_sharding_rules
 from skinjax.train.steps import TrainState
 
 
 def distribute_state(
     mesh: Mesh, state: TrainState, min_tp_dim: int = 1024, min_tp_conv: int = 0,
-    tp_attn: bool = False,
+    tp_attn: bool = False, fsdp_min_size: int = 0,
 ) -> TrainState:
+    """Shard a TrainState onto the mesh.
+
+    ``fsdp_min_size`` > 0 turns on ZeRO-3-style param/optimizer sharding over
+    the ``data`` axis for every leaf at least that many elements (composed
+    with whatever TP rule applies first — see fsdp_sharding_rules); 0 keeps
+    the replicated-DP default."""
     def put_tree(tree):
         rules = param_sharding_rules(mesh, tree, min_tp_dim, min_tp_conv,
                                      tp_attn)
+        if fsdp_min_size:
+            rules = fsdp_sharding_rules(
+                mesh, tree, min_size=fsdp_min_size, base_rules=rules
+            )
         return jax.tree_util.tree_map(jax.device_put, tree, rules)
 
     return TrainState(

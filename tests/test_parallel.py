@@ -217,3 +217,72 @@ def test_transformer_tp_attn_matches_single_device():
     for x, y in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
                     jax.tree_util.tree_leaves(jax.device_get(p2))):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+def test_fsdp_step_matches_single_device():
+    """ZeRO-3-style FSDP (fsdp_min_size): params + Adam moments shard over
+    the data axis, GSPMD inserts all-gather/reduce-scatter, and a dp8 train
+    step reproduces single-device numerics."""
+    import optax
+
+    model = MultimodalModel(
+        num_classes=4, num_heads=4, cnn_model_name="resnet-18",
+        common_dim=32, text_encoder_dim_output=32, vocab_size=16,
+        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+    )
+    src = synthetic_source(n=16, image_size=(64, 64), feature_dim=16, num_classes=4)
+    batch = src.batch(np.arange(16))
+    tx = optax.sgd(1e-3)  # SGD: see conv-TP test note on Adam sign-flips
+    state = create_train_state(model, jax.random.key(0), batch, tx)
+    loss_fn = make_loss_fn("ce")
+    step = make_train_step(model, tx, loss_fn, augment=False,
+                           image_dtype=jnp.float32)
+
+    im = jnp.asarray(batch["image"], jnp.float32)
+    s1, loss1 = step(state, im, jnp.asarray(batch["metadata"]),
+                     jnp.asarray(batch["label"]), jax.random.key(7))
+
+    mesh = create_mesh(n_data=8, n_model=1)
+    state2 = create_train_state(model, jax.random.key(0), batch, tx)
+    dstate = distribute_state(mesh, state2, fsdp_min_size=4096)
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(dstate.params)
+        if "data" in str(getattr(leaf.sharding, "spec", ""))
+    )
+    assert n_sharded > 10, f"expected FSDP-sharded params, got {n_sharded}"
+    # the Adam-moment mirror (here: SGD state is empty, so check params') and
+    # batch_stats follow the same shape-only rule tree
+    dbatch = shard_batch(mesh, {**batch, "image": np.asarray(im)})
+    s2, loss2 = step(dstate, dbatch["image"], dbatch["metadata"],
+                     dbatch["label"], jax.random.key(7))
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-4)
+    for x, y in zip(jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+def test_fsdp_memory_split_beitv2_large():
+    """The real beitv2_large_patch16_224 param tree (307 M params, the
+    largest backbone in the reference's published table) built shape-only
+    via eval_shape: FSDP rules must cut per-device param bytes to near 1/8
+    (+ the replicated small-leaf remainder)."""
+    from skinjax.models.backbones.beit import beitv2_large
+    from skinjax.parallel.mesh import fsdp_sharding_rules
+
+    model = beitv2_large()
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 224, 224, 3), jnp.float32)),
+        jax.random.key(0),
+    )["params"]
+    total = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(shapes))
+    assert total > 300e6  # it really is the 307 M-param model
+
+    mesh = create_mesh(n_data=8, n_model=1)
+    rules = fsdp_sharding_rules(mesh, shapes, min_size=2 ** 16)
+    per_device = 0
+    for leaf, rule in zip(jax.tree_util.tree_leaves(shapes),
+                          jax.tree_util.tree_leaves(rules)):
+        n = int(np.prod(leaf.shape))
+        per_device += n // 8 if any(rule.spec) else n
+    # >= 96% of the weight mass must shard (biases/LN/scales stay replicated)
+    assert per_device < total / 8 * 1.35, (per_device, total)
