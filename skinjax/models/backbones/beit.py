@@ -151,6 +151,8 @@ class Beit(nn.Module):
     layerscale_init: float = 1e-5
     dtype: Optional[jnp.dtype] = None
     scan_blocks: bool = False
+    # sequence parallelism between blocks — see vit.ViT.seq_shard_axis
+    seq_shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, tokens: bool = False,
@@ -182,6 +184,10 @@ class Beit(nn.Module):
             x, _ = body(x, None)
         else:
             for i in range(self.depth):
+                if self.seq_shard_axis is not None:
+                    from skinjax.parallel.mesh import seq_shard
+
+                    x = seq_shard(x, self.seq_shard_axis)
                 x = BeitBlock(self.dim, self.num_heads, grid,
                               layerscale_init=self.layerscale_init,
                               dtype=self.dtype, name=f"block{i}")(x)

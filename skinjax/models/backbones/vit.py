@@ -97,6 +97,12 @@ class ViT(nn.Module):
     # a leading (depth,) axis; use ``stack_block_params`` to convert importer
     # output. Opt-in: the loop layout stays the importer/checkpoint default.
     scan_blocks: bool = False
+    # Megatron-style sequence parallelism: name a mesh axis to pin the token
+    # axis of the residual stream between blocks (parallel/mesh.py seq_shard)
+    # — LN/residual regions then run token-sharded, and with tp_attn-sharded
+    # kernels GSPMD inserts the SP all-gather/reduce-scatter pairs. No-op
+    # off-mesh; numerics exact (tests/test_parallel.py).
+    seq_shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, tokens: bool = False,
@@ -153,6 +159,10 @@ class ViT(nn.Module):
                     x = jnp.concatenate(
                         [x[:, :1], grid.reshape(B, gh * gw, self.dim)], axis=1
                     )
+                if self.seq_shard_axis is not None:
+                    from skinjax.parallel.mesh import seq_shard
+
+                    x = seq_shard(x, self.seq_shard_axis)
                 x = ViTBlock(
                     self.dim, self.num_heads,
                     layerscale_init=self.layerscale_init,

@@ -146,6 +146,29 @@ def shard_params(mesh: Mesh, params, min_tp_dim: int = 1024, min_tp_conv: int = 
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+def seq_shard(x, axis: Optional[str], dim: int = 1):
+    """Megatron-style sequence parallelism as a GSPMD constraint.
+
+    Pins activation axis ``dim`` (the token axis of a (B, T, D) stream) to
+    mesh axis ``axis`` while leaving every other dim UNCONSTRAINED (so batch
+    sharding over ``data`` propagates untouched). Placed on the residual
+    stream between transformer blocks, the partitioner keeps the
+    LayerNorm/residual/elementwise regions token-sharded — their activation
+    footprint and flops divide by the axis size — and inserts exactly the
+    Megatron-SP collectives (all-gather entering attention/MLP when their
+    kernels are TP-sharded, reduce-scatter back) itself. No-op when ``axis``
+    is None or there is no ambient mesh carrying it (init/eval_shape and
+    single-device paths stay valid)."""
+    if axis is None:
+        return x
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty or axis not in am.axis_names:
+        return x
+    spec = [P.UNCONSTRAINED] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def fsdp_sharding_rules(
     mesh: Mesh, params, axis: str = "data", min_size: int = 2 ** 16,
     base_rules=None,

@@ -31,6 +31,19 @@ def save_checkpoint(path: str, state: TrainState) -> None:
     ckptr.wait_until_finished()
 
 
+def _reshard_like(restored, template):
+    """Re-apply the template's mesh shardings to host-restored leaves, so a
+    resumed run on a mesh keeps its TP/FSDP layout instead of silently
+    falling back to replicated default placement."""
+    def put(r, t):
+        sh = getattr(t, "sharding", None)
+        if isinstance(sh, jax.sharding.NamedSharding):
+            return jax.device_put(r, sh)
+        return r
+
+    return jax.tree_util.tree_map(put, restored, template)
+
+
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
@@ -45,9 +58,10 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
 
     return dataclasses.replace(
         template,
-        params=restored["params"],
-        batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
+        params=_reshard_like(restored["params"], template.params),
+        batch_stats=_reshard_like(
+            restored["batch_stats"], template.batch_stats),
+        opt_state=_reshard_like(restored["opt_state"], template.opt_state),
         step=jax.numpy.asarray(restored["step"], jax.numpy.int32),
     )
 

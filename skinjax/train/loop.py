@@ -70,6 +70,14 @@ class TrainConfig:
     seed: int = 42
     image_dtype: str = "bfloat16"
     log_every: int = 0  # batches; 0 = epoch level only
+    # mesh sharding knobs (used only when train_process gets a mesh):
+    # min output dim for TP on 2-D kernels; conv-channel TP threshold
+    # (0 = off); Megatron pairs on transformer attn/mlp kernels; FSDP
+    # (ZeRO-3) min leaf elements (0 = off) — see parallel/mesh.py
+    tp_min_dim: int = 1024
+    tp_min_conv: int = 0
+    tp_attn: bool = False
+    fsdp_min_size: int = 0
 
 
 def _dtype(cfg: TrainConfig):
@@ -194,7 +202,11 @@ def train_process(
     if mesh is not None:
         from skinjax.parallel.distributed import distribute_state
 
-        state = distribute_state(mesh, state)
+        state = distribute_state(
+            mesh, state, min_tp_dim=cfg.tp_min_dim,
+            min_tp_conv=cfg.tp_min_conv, tp_attn=cfg.tp_attn,
+            fsdp_min_size=cfg.fsdp_min_size,
+        )
 
     # class weights ride as a call argument so the jitted step trace-caches
     # across folds (see steps.make_train_step_weighted)

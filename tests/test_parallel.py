@@ -286,3 +286,80 @@ def test_fsdp_memory_split_beitv2_large():
         per_device += n // 8 if any(rule.spec) else n
     # >= 96% of the weight mass must shard (biases/LN/scales stay replicated)
     assert per_device < total / 8 * 1.35, (per_device, total)
+
+
+def test_seq_shard_constraint_applies_and_noops():
+    """seq_shard pins the token axis on-mesh and is a no-op off-mesh."""
+    from jax.sharding import PartitionSpec as P
+    from skinjax.parallel.mesh import seq_shard
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    x = jnp.ones((8, 18, 16))
+    with jax.sharding.set_mesh(mesh):
+        y = jax.jit(lambda a: seq_shard(a * 1.0, "model"))(x)
+    assert "model" in str(y.sharding.spec)
+    # off-mesh: identity, no error
+    z = jax.jit(lambda a: seq_shard(a * 1.0, "model"))(x)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+
+
+def test_vit_sequence_parallel_matches_single_device():
+    """SP + TP on a ViT: token-sharded residual stream between blocks plus
+    Megatron-sharded qkv/proj/fc kernels reproduce unsharded numerics."""
+    from skinjax.models.backbones.vit import ViT
+    from skinjax.parallel.mesh import shard_params
+
+    vit = ViT(dim=32, depth=4, num_heads=4, patch=8)
+    x = jax.random.normal(jax.random.key(0), (8, 32, 32, 3))
+    params = vit.init(jax.random.key(1), x)["params"]
+    y_ref = vit.apply({"params": params}, x)
+
+    sp_vit = ViT(dim=32, depth=4, num_heads=4, patch=8,
+                 seq_shard_axis="model")
+    mesh = create_mesh(n_data=4, n_model=2)
+    dparams = shard_params(mesh, params, tp_attn=True)
+    sh_x = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    with jax.sharding.set_mesh(mesh):
+        y_sp = jax.jit(
+            lambda p, a: sp_vit.apply({"params": p}, a))(dparams, sh_x)
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip_preserves_fsdp_sharding(tmp_path):
+    """save_checkpoint on an FSDP-sharded state + restore_checkpoint with the
+    sharded template must return leaves that keep their mesh sharding (a
+    resumed mesh run must not silently fall back to replicated)."""
+    from skinjax.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    model = MultimodalModel(
+        num_classes=4, num_heads=4, cnn_model_name="custom-cnn",
+        common_dim=32, text_encoder_dim_output=32, vocab_size=16,
+        attention_mechanism="concatenation",
+    )
+    src = synthetic_source(n=8, image_size=(32, 32), feature_dim=16, num_classes=4)
+    batch = src.batch(np.arange(8))
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, jax.random.key(0), batch, tx)
+    mesh = create_mesh(n_data=8, n_model=1)
+    dstate = distribute_state(mesh, state, fsdp_min_size=1024)
+
+    save_checkpoint(str(tmp_path / "ck"), dstate)
+    blank = jax.tree_util.tree_map(jnp.zeros_like, dstate)
+    restored = restore_checkpoint(str(tmp_path / "ck"), blank)
+
+    specs_before = [
+        str(l.sharding.spec)
+        for l in jax.tree_util.tree_leaves(dstate.params)
+    ]
+    specs_after = [
+        str(getattr(l, "sharding", None).spec)
+        if hasattr(getattr(l, "sharding", None), "spec") else "host"
+        for l in jax.tree_util.tree_leaves(restored.params)
+    ]
+    assert specs_before == specs_after
+    assert any("data" in s for s in specs_after)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(dstate.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
