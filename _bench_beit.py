@@ -3,13 +3,20 @@
 The largest backbone in the reference's published BACC table (307 M params,
 frugality_bacc_by_models.py:14-16). Reuses bench.py's harness: uint8 in,
 on-device augment, bf16 forward, fp32 weighted-CE, backward, masked Adam.
-Reports unfrozen and frozen (reference-default) modes at B=32/64.
+
+Usage: python _bench_beit.py [remat]  — 'remat' sets SKINJAX_REMAT=block
+before any skinjax import (the flag is read at import time).
 """
 
+import gc
 import json
 import os
+import sys
 
 os.environ.setdefault("SKINJAX_WINATTN", "pallas")
+MODE = "remat" if "remat" in sys.argv[1:] else "plain"
+if MODE == "remat":
+    os.environ["SKINJAX_REMAT"] = "block"
 
 import jax
 import jax.numpy as jnp
@@ -28,17 +35,21 @@ model = MultimodalModel(
     dtype=jnp.bfloat16,
 )
 
-out = {}
-for B in (32, 64):
+out = {"mode": MODE}
+
+
+def measure(tag, B, freeze=False):
     try:
-        ips, _ = bench._train_throughput(model, B)
-        out[f"beitv2_large_B{B}_images_per_sec"] = round(ips, 1)
-    except Exception as e:  # OOM at the larger batch is an acceptable result
-        out[f"beitv2_large_B{B}_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-try:
-    ips_f, _ = bench._train_throughput(model, 32, freeze=True)
-    out["beitv2_large_B32_frozen_images_per_sec"] = round(ips_f, 1)
-except Exception as e:
-    out["beitv2_large_B32_frozen_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        ips, state = bench._train_throughput(model, B, freeze=freeze)
+        out[tag] = round(ips, 1)
+        del state
+    except Exception as e:
+        out[tag + "_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+    gc.collect()
+
+
+for B in (32, 64, 128):
+    measure(f"beitv2_large_B{B}_images_per_sec", B)
+measure("beitv2_large_B32_frozen_images_per_sec", 32, freeze=True)
 
 print(json.dumps(out))

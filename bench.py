@@ -175,6 +175,20 @@ def main():
     except Exception:
         pass
     try:
+        # the largest published backbone (307 M params); B=32 is the plain
+        # (no-remat) capacity limit on one v5e — DESIGN §5h
+        beit = MultimodalModel(
+            num_classes=6, num_heads=8,
+            cnn_model_name="beitv2_large_patch16_224",
+            text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+            attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+            dtype=jnp.bfloat16,
+        )
+        beit_ips, _ = _train_throughput(beit, 32)
+        extras["beitv2_large_images_per_sec"] = round(beit_ips, 1)
+    except Exception:
+        pass
+    try:
         swin = MultimodalModel(
             num_classes=6, num_heads=8,
             cnn_model_name="swin_tiny_patch4_window7_224",

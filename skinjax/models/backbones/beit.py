@@ -19,6 +19,7 @@ batched MXU matmuls.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -26,6 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+# SKINJAX_REMAT=block: rematerialize each encoder block in the backward
+# (same opt-in capacity lever as resnet.py:41-48). For beitv2_large on one
+# v5e the unrematerialized step OOMs above B=32 (measured, DESIGN §5h);
+# storing only block-boundary activations restores the batch headroom.
+_REMAT = os.environ.get("SKINJAX_REMAT", "")
 
 
 def beit_relative_position_index(h: int, w: int) -> np.ndarray:
@@ -183,14 +190,26 @@ class Beit(nn.Module):
             )
             x, _ = body(x, None)
         else:
+            remat = _REMAT == "block" and train
             for i in range(self.depth):
                 if self.seq_shard_axis is not None:
                     from skinjax.parallel.mesh import seq_shard
 
                     x = seq_shard(x, self.seq_shard_axis)
-                x = BeitBlock(self.dim, self.num_heads, grid,
-                              layerscale_init=self.layerscale_init,
-                              dtype=self.dtype, name=f"block{i}")(x)
+                if remat:
+                    # function-form nn.remat (see resnet.py) — params are
+                    # named inside, so the tree matches the plain path
+                    def body(mdl, y, _i=i, _g=grid):
+                        return BeitBlock(
+                            mdl.dim, mdl.num_heads, _g,
+                            layerscale_init=mdl.layerscale_init,
+                            dtype=mdl.dtype, name=f"block{_i}")(y)
+
+                    x = nn.remat(body, prevent_cse=False)(self, x)
+                else:
+                    x = BeitBlock(self.dim, self.num_heads, grid,
+                                  layerscale_init=self.layerscale_init,
+                                  dtype=self.dtype, name=f"block{i}")(x)
         if tokens:
             return x
         if capture or feature_delta is not None:

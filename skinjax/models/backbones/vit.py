@@ -10,6 +10,7 @@ reference's seq-aware fusion variants, multimodalGated.py:131-176).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -17,6 +18,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from skinjax.ops.attention import MultiHeadAttention
+
+# SKINJAX_REMAT=block: rematerialize each encoder block in the backward —
+# the opt-in capacity lever shared with resnet.py:41-48 / beit.py
+_REMAT = os.environ.get("SKINJAX_REMAT", "")
 
 
 class ViTBlock(nn.Module):
@@ -163,11 +168,21 @@ class ViT(nn.Module):
                     from skinjax.parallel.mesh import seq_shard
 
                     x = seq_shard(x, self.seq_shard_axis)
-                x = ViTBlock(
-                    self.dim, self.num_heads,
-                    layerscale_init=self.layerscale_init,
-                    dtype=self.dtype, name=f"block{i}",
-                )(x, deterministic=not train)
+                if _REMAT == "block" and train:
+                    def body(mdl, y, _i=i):
+                        return ViTBlock(
+                            mdl.dim, mdl.num_heads,
+                            layerscale_init=mdl.layerscale_init,
+                            dtype=mdl.dtype, name=f"block{_i}",
+                        )(y, deterministic=False)
+
+                    x = nn.remat(body, prevent_cse=False)(self, x)
+                else:
+                    x = ViTBlock(
+                        self.dim, self.num_heads,
+                        layerscale_init=self.layerscale_init,
+                        dtype=self.dtype, name=f"block{i}",
+                    )(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if tokens:
             return x

@@ -90,3 +90,45 @@ def test_remat_trains(monkeypatch):
         params, stats, opt_state, loss = step(params, stats, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_remat_block_vit_beit_matches_default(monkeypatch):
+    """The transformer families honor the same flag: tree-identical params,
+    matching forward + gradients (beitv2_large OOMs above B=32 on a v5e
+    without it — DESIGN §5h)."""
+    from skinjax.models.backbones import beit as beit_mod
+    from skinjax.models.backbones import vit as vit_mod
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+
+    for mod, make in (
+        (vit_mod, lambda: vit_mod.ViT(dim=32, depth=2, num_heads=4, patch=8)),
+        (beit_mod, lambda: beit_mod.Beit(dim=32, depth=2, num_heads=4,
+                                         patch=8, layerscale_init=1e-5)),
+    ):
+        monkeypatch.setattr(mod, "_REMAT", "")
+        plain = make()
+        v = plain.init(jax.random.key(0), x)
+
+        monkeypatch.setattr(mod, "_REMAT", "block")
+        remat = make()
+        v_r = remat.init(jax.random.key(0), x)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v_r))
+
+        def loss(variables, m):
+            return (m.apply(variables, x, train=True).astype(jnp.float32)
+                    ** 2).mean()
+
+        y_p = plain.apply(v, x, train=True)
+        y_r = remat.apply(v_r, x, train=True)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r),
+                                   atol=1e-6)
+        g_p = jax.grad(loss)(v, plain)
+        g_r = jax.grad(loss)(v_r, remat)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5),
+            g_p, g_r,
+        )
