@@ -1,0 +1,51 @@
+"""Same-run A/B: fused global-attention core (SKINJAX_GLOBATTN=pallas) vs
+XLA einsum attention, beitv2_large + vit_large full multimodal train steps
+on the v5e. Same harness as bench.py; A/B within one process per CLAUDE.md
+(tunnel latency varies ~2x across runs)."""
+
+import gc
+import json
+import os
+
+os.environ.setdefault("SKINJAX_WINATTN", "pallas")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from skinjax.models import MultimodalModel
+
+out = {}
+
+
+def measure(tag, name, B, env):
+    os.environ["SKINJAX_GLOBATTN"] = env
+    model = MultimodalModel(
+        num_classes=6, num_heads=8, cnn_model_name=name,
+        text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+        dtype=jnp.bfloat16,
+    )
+    try:
+        ips, state = bench._train_throughput(model, B)
+        out[tag] = round(ips, 1)
+        del state
+    except Exception as e:
+        out[tag + "_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    gc.collect()
+    print(json.dumps({tag: out.get(tag, out.get(tag + "_error"))}),
+          flush=True)
+
+
+# interleave XLA/pallas within the run for fairness
+measure("beit_B32_xla", "beitv2_large_patch16_224", 32, "")
+measure("beit_B32_pallas", "beitv2_large_patch16_224", 32, "pallas")
+measure("vitl_B32_xla", "vit_large_patch16_224", 32, "")
+measure("vitl_B32_pallas", "vit_large_patch16_224", 32, "pallas")
+# re-measure A to bound drift
+measure("beit_B32_xla_2", "beitv2_large_patch16_224", 32, "")
+
+print(json.dumps(out))

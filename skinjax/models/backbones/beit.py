@@ -74,6 +74,30 @@ class BeitAttention(nn.Module):
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
         bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
         qkv = x @ qkv_w.astype(x.dtype) + bias.astype(x.dtype)
+        gh, gw = self.grid
+        table = self.param(
+            "rel_bias_table", nn.initializers.zeros,
+            ((2 * gh - 1) * (2 * gw - 1) + 3, h),
+        )
+        idx = jnp.asarray(beit_relative_position_index(gh, gw))
+        rel_bias = table[idx].transpose(2, 0, 1)  # (h, N, N) f32
+
+        from skinjax.ops.pallas.global_attention import (
+            attention_core, globattn_mode)
+
+        # init often runs pinned to CPU (fast-init pattern) where a compiled
+        # pallas_call cannot lower; the core is param-free, so the XLA
+        # branch is init-safe
+        if globattn_mode() == "pallas" and not self.is_initializing():
+            # fused core on the head-major channel layout — minor-axis
+            # slices only, no (B, N, h, hd) relayout, no HBM score tensor
+            # (measured beitv2_large B=32: 215.5 -> see DESIGN §5h)
+            out = attention_core(
+                qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:],
+                rel_bias, None, h,
+            )
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
         # minor-axis slices (timm unit order [q|k|v][h][hd]); avoids the 5-D
         # relayout copies the v5e trace showed for split+transpose
         q = qkv[..., :C].reshape(B, N, h, hd)
@@ -82,13 +106,7 @@ class BeitAttention(nn.Module):
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
                           preferred_element_type=jnp.float32)
-        gh, gw = self.grid
-        table = self.param(
-            "rel_bias_table", nn.initializers.zeros,
-            ((2 * gh - 1) * (2 * gw - 1) + 3, h),
-        )
-        idx = jnp.asarray(beit_relative_position_index(gh, gw))
-        attn = attn + table[idx].transpose(2, 0, 1)[None].astype(attn.dtype)
+        attn = attn + rel_bias[None].astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(B, N, C))

@@ -6,7 +6,10 @@ Rebuilds of the reference's text-side encoders:
   * static-embedding tower (PubMedBERT model2vec path,
     skinLesionDatasetsWithPubMedEmbeddings.py) — a projection over
     precomputed sentence embeddings
-HF Flax BERT/GPT-2 towers plug in through the same (B, D) contract.
+HF Flax BERT/GPT-2 towers plug in through the same (B, D) contract, and
+``skinjax.models.text.bert.NativeBertEncoder`` / ``NativeSentenceTower``
+provide the TPU-native BERT path (HF-identical param tree, bf16-capable,
+fused-attention-kernel-backed).
 """
 
 from __future__ import annotations
@@ -17,6 +20,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from skinjax.models.fusion.blocks import LN_EPS, TransformerAttentionBlock
+from skinjax.models.text.bert import (  # noqa: F401  (re-export)
+    NativeBertEncoder,
+    NativeSentenceTower,
+    config_from_hf,
+    import_hf_bert_params,
+)
 
 
 class OneHotMLP(nn.Module):

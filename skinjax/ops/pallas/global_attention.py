@@ -1,0 +1,206 @@
+"""Fused global (full-sequence) attention core for ViT/BEiT-class encoders.
+
+The XLA lowering of full-sequence MHA materializes the f32 (B, h, N, N)
+logits, the softmaxed probabilities, and the head-merge relayout in HBM —
+for beitv2_large at B=32 / N=197 that is ~90 MB of score traffic per block
+per direction, and the measured step sits at ~21% MFU (docs/DESIGN.md §5h).
+This kernel keeps the whole scores -> (+bias) -> softmax -> p @ v chain
+VMEM-resident per (head-group, batch-block) grid cell.
+
+Deliberately CORE-ONLY: the qkv and output projections stay in XLA — they
+are single large (B*N, C) x (C, 3C) MXU matmuls XLA already runs at high
+efficiency, and keeping them outside avoids re-streaming multi-MB weight
+blocks through VMEM per grid step (the windowed kernel fuses its projections
+because its windows are tiny and its weights small; see
+window_attention.py). The q/k/v tensors use the HEAD-MAJOR channel layout
+(B, N, C) — channel c belongs to head c // head_dim — which is exactly what
+minor-axis slicing of a packed qkv matmul produces, so integrating the
+kernel removes the (B, N, h, hd) reshape/transpose relayouts too.
+
+Backward reuses the split flash-style core from window_attention._bwd_core
+(recompute scores/softmax per block; dq/dk/dv + dbias in one kernel, the
+projection grads chain through XLA AD outside).
+
+Reference semantics: scaled-dot-product attention with an optional additive
+per-head bias (h, N, N) — BEiT's relative-position bias
+(beit.py BeitAttention; timm beit.py Attention._get_rel_pos_bias). The bias
+is differentiable (BEiT's bias is a gathered table; d_table chains through
+the XLA gather outside the kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from skinjax.ops.pallas.window_attention import (
+    _VMEM_BUDGET,
+    _bwd_core,
+    _heads_per_group,
+    _interpret,
+    _pad_n,
+    _pick_winb,
+)
+
+
+def globattn_mode() -> str:
+    """Resolve the global-attention implementation default, mirroring
+    ``window_attention.winattn_mode``:
+
+    - ``SKINJAX_EXPORT_COMPAT`` (native ONNX exporter tracing): always ""
+      — the emitter cannot express ``pallas_call``.
+    - ``SKINJAX_GLOBATTN`` set: returned verbatim ("pallas" = fused kernel,
+      anything else = XLA einsum path).
+    - unset: "pallas" when the default backend is TPU, "" elsewhere
+      (interpret-mode Pallas on CPU is parity-correct but slow).
+    """
+    if os.environ.get("SKINJAX_EXPORT_COMPAT", "") == "1":
+        return ""
+    v = os.environ.get("SKINJAX_GLOBATTN")
+    if v is not None:
+        return v
+    try:
+        if jax.default_backend() == "tpu":
+            return "pallas"
+    except Exception:
+        pass
+    return ""
+
+
+def attention_core_reference(q, k, v, num_heads, bias=None, kmask=None):
+    """Pure-XLA reference (also the parity-test oracle). q/k/v: (B, N, C)
+    head-major channel layout; bias: (h, N, N) additive or None; kmask:
+    (B, N) per-sample additive key mask (0 keep / -1e9 drop) or None.
+    Returns (B, N, C) in q.dtype with f32 logit accumulation."""
+    B, N, C = q.shape
+    h = num_heads
+    hd = C // h
+    qh = q.reshape(B, N, h, hd)
+    kh = k.reshape(B, N, h, hd)
+    vh = v.reshape(B, N, h, hd)
+    s = jnp.einsum("bnhd,bmhd->bhnm", qh * (hd ** -0.5), kh,
+                   preferred_element_type=jnp.float32)
+    if bias is not None:
+        s = s + bias[None].astype(s.dtype)
+    if kmask is not None:
+        s = s + kmask[:, None, None, :].astype(s.dtype)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, vh).reshape(B, N, C)
+
+
+def _fwd_block_bytes(Np: int, CG: int, itemsize: int) -> int:
+    """Per-batch-row VMEM estimate: q/k/v/o channel-group blocks plus one
+    f32 score/prob pair and the f32 out accumulator for the live head."""
+    return Np * (4 * CG * itemsize + 4 * CG + 8 * Np)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref, *, hg: int,
+                has_bias: bool, has_kmask: bool, n_real: int):
+    SB, Np, CG = q_ref.shape
+    hd = CG // hg
+    scale = hd ** -0.5
+    # keys beyond the real sequence length are padding: -inf their scores
+    col = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+    keypad = jnp.where(col < n_real, 0.0, -1e9).astype(jnp.float32)
+    for hi in range(hg):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        q = q_ref[..., sl]
+        k = k_ref[..., sl]
+        v = v_ref[..., sl]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + keypad[None]
+        if has_bias:
+            s = s + bias_ref[hi].astype(jnp.float32)[None]
+        if has_kmask:
+            # per-sample additive key mask (BERT padding), broadcast over
+            # query rows
+            s = s + kmask_ref[:].astype(jnp.float32)[:, None, :]
+        p = jax.nn.softmax(s, axis=-1).astype(q_ref.dtype)
+        o_ref[..., sl] = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _fwd_core(q, k, v, bias, kmask, *, num_heads: int):
+    B, N, C = q.shape
+    hd = C // num_heads
+    hg = _heads_per_group(num_heads, hd)
+    n_groups = num_heads // hg
+    has_bias = bias is not None
+    has_kmask = kmask is not None
+    # Mosaic shape-casts need sublane-aligned dims: pad the token axis to a
+    # multiple of 16 (padded keys masked to -inf in-kernel; padded query
+    # rows are sliced off the output)
+    Np = -(-N // 16) * 16
+    CG = hg * hd
+    SB = _pick_winb(B, 1, _fwd_block_bytes(Np, CG, q.dtype.itemsize))
+    q, k, v = (_pad_n(t, Np, (1,)) for t in (q, k, v))
+    bias_in = (_pad_n(bias, Np, (1, 2)) if has_bias
+               else jnp.zeros((n_groups * hg, 16, 16), jnp.float32))
+    kmask_in = (_pad_n(kmask.astype(jnp.float32), Np, (1,)) if has_kmask
+                else jnp.zeros((1, 16), jnp.float32))
+
+    kernel = functools.partial(_fwd_kernel, hg=hg, has_bias=has_bias,
+                               has_kmask=has_kmask, n_real=N)
+    blk = pl.BlockSpec((SB, Np, CG), lambda g, b: (b, 0, g),
+                       memory_space=pltpu.VMEM)
+    bias_blk = pl.BlockSpec((hg,) + bias_in.shape[1:],
+                            lambda g, b: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kmask_blk = (pl.BlockSpec((SB, Np), lambda g, b: (b, 0),
+                              memory_space=pltpu.VMEM) if has_kmask else
+                 pl.BlockSpec(kmask_in.shape, lambda g, b: (0, 0),
+                              memory_space=pltpu.VMEM))
+    o = pl.pallas_call(
+        kernel,
+        grid=(n_groups, B // SB),
+        in_specs=[blk, blk, blk, bias_blk, kmask_blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, bias_in, kmask_in)
+    return o[:, :N, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def attention_core(q, k, v, bias, kmask, num_heads):
+    """Fused global MHA core. q/k/v: (B, N, C) head-major channel layout
+    (minor-axis slices of a packed qkv projection); ``bias``: (h, N, N)
+    additive per-head bias or None (differentiable); ``kmask``: (B, N)
+    per-sample additive key mask (0 keep / -1e9 drop) or None (constant —
+    its cotangent is zero). Returns (B, N, C). Requires equal q/k sequence
+    lengths (self-attention shapes)."""
+    return _fwd_core(q, k, v, bias, kmask, num_heads=num_heads)
+
+
+def _ac_fwd(q, k, v, bias, kmask, num_heads):
+    y = _fwd_core(q, k, v, bias, kmask, num_heads=num_heads)
+    return y, (q, k, v, bias, kmask)
+
+
+def _ac_bwd(num_heads, res, dy):
+    q, k, v, bias, kmask = res
+    has_bias = bias is not None
+    # the split core recomputes softmax per block and emits dq/dk/dv (+
+    # dbias accumulated in-kernel); its `of` output feeds projection grads
+    # in the windowed caller and is unused here (XLA AD already holds the
+    # core output as the out-projection residual)
+    dq, dk, dv, _of, dbias = _bwd_core(
+        q, k, v, dy, bias if has_bias else None, None,
+        num_heads=num_heads, has_bias=has_bias, has_mask=False, n_win=1,
+        kmask=kmask,
+    )
+    return (dq, dk, dv,
+            dbias.astype(bias.dtype) if has_bias else None,
+            jnp.zeros_like(kmask) if kmask is not None else None)
+
+
+attention_core.defvjp(_ac_fwd, _ac_bwd)

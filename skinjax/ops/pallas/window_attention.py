@@ -263,9 +263,9 @@ def _heads_per_group(h: int, hd: int) -> int:
 
 
 def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
-                     dq_ref, dk_ref, dv_ref, of_ref, dbias_ref, *, hg: int,
-                     n_win: int, has_bias: bool, has_mask: bool,
-                     n_real: int, scale: float):
+                     kmask_ref, dq_ref, dk_ref, dv_ref, of_ref, dbias_ref,
+                     *, hg: int, n_win: int, has_bias: bool, has_mask: bool,
+                     has_kmask: bool, n_real: int, scale: float):
     """Attention-core backward for one (head-group, window-block) grid cell:
     recompute scores/softmax, emit dq/dk/dv and of = p·v (the pre-projection
     forward output, recomputed here instead of stored by the forward —
@@ -302,6 +302,10 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
             s = s + bias_ref[hi].astype(jnp.float32)[None]
         if has_mask:
             s = s + m
+        if has_kmask:
+            # per-sample additive key mask (BERT padding): one row per
+            # batch element, broadcast over query rows
+            s = s + kmask_ref[:].astype(jnp.float32)[:, None, :]
         p = jax.nn.softmax(s, axis=-1)  # f32 for exact softmax bwd
         pb = p.astype(q_ref.dtype)
         # of = p @ v (recomputed forward output, feeds dwproj in _bwd_call)
@@ -334,10 +338,11 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
 
 
 def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
-              has_bias: bool, has_mask: bool, n_win: int):
-    """q/k/v/do: (nB, N, C) head-major channel layout. Returns
-    (dq, dk, dv, of, dbias) with dq/dk/dv/of in q.dtype and dbias f32
-    (h, N, N)."""
+              has_bias: bool, has_mask: bool, n_win: int, kmask=None):
+    """q/k/v/do: (nB, N, C) head-major channel layout. ``kmask``: optional
+    per-sample additive key mask (nB, N) f32 (global-attention padding;
+    constant, no gradient). Returns (dq, dk, dv, of, dbias) with
+    dq/dk/dv/of in q.dtype and dbias f32 (h, N, N)."""
     nB, N, C = q.shape
     hd = C // num_heads
     hg = _heads_per_group(num_heads, hd)
@@ -346,6 +351,7 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
     WINB = _pick_winb(
         nB, n_win, _bwd_window_bytes(Np, hg * hd, q.dtype.itemsize))
     n_real = N
+    has_kmask = kmask is not None
     q, k, v, do = (_pad_n(t, Np, (1,)) for t in (q, k, v, do))
     if has_bias:
         bias_in = _pad_n(bias_in, Np, (1, 2))
@@ -355,11 +361,15 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
         mask_in = _pad_n(mask_in, Np, (1, 2))
     else:
         mask_in = jnp.zeros((1, 16, 16), jnp.float32)
+    if has_kmask:
+        kmask_in = _pad_n(kmask.astype(jnp.float32), Np, (1,))
+    else:
+        kmask_in = jnp.zeros((1, 16), jnp.float32)
 
     kernel = functools.partial(
         _bwd_core_kernel, hg=hg, n_win=n_win,
-        has_bias=has_bias, has_mask=has_mask, n_real=n_real,
-        scale=hd ** -0.5,
+        has_bias=has_bias, has_mask=has_mask, has_kmask=has_kmask,
+        n_real=n_real, scale=hd ** -0.5,
     )
     # grid: head-group OUTER, window-block INNER (dbias blocks are revisited
     # consecutively across the inner dim, as Mosaic requires)
@@ -378,10 +388,14 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
     else:
         mask_blk = pl.BlockSpec(mask_in.shape, lambda g, i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
+    kmask_blk = (pl.BlockSpec((WINB, Np), lambda g, i: (i, 0),
+                              memory_space=pltpu.VMEM) if has_kmask else
+                 pl.BlockSpec(kmask_in.shape, lambda g, i: (0, 0),
+                              memory_space=pltpu.VMEM))
     dq, dk, dv, of, dbias = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk, blk, blk, blk, bias_blk, mask_blk],
+        in_specs=[blk, blk, blk, blk, bias_blk, mask_blk, kmask_blk],
         out_specs=[blk, blk, blk, blk, bias_blk],
         out_shape=[
             jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
@@ -391,7 +405,7 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
             jax.ShapeDtypeStruct(bias_in.shape, jnp.float32),
         ],
         interpret=_interpret(),
-    )(q, k, v, do, bias_in, mask_in)
+    )(q, k, v, do, bias_in, mask_in, kmask_in)
     return (dq[:, :N, :], dk[:, :N, :], dv[:, :N, :], of[:, :N, :],
             dbias[:, :N, :N] if has_bias else None)
 

@@ -1,0 +1,202 @@
+"""Fused global-attention core (ops/pallas/global_attention.py): forward +
+gradient parity vs the einsum reference, and the BEiT / MultiHeadAttention
+module integrations (interpret mode on CPU runs the kernel arithmetic)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from skinjax.ops.pallas.global_attention import (
+    attention_core,
+    attention_core_reference,
+)
+
+
+def _qkv(B=4, N=19, C=48, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, dtype)
+    k = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, dtype)
+    v = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "B,N,C,h,bias",
+    [
+        (4, 19, 48, 3, False),   # odd N (pad to 32), full-C head group
+        (4, 19, 48, 3, True),
+        (8, 32, 256, 8, True),   # lane-aligned CG=128 groups (hd=32, g=4)
+        (2, 50, 64, 2, False),   # N=50 -> pad 64
+    ],
+)
+def test_forward_parity(B, N, C, h, bias):
+    q, k, v = _qkv(B, N, C)
+    rng = np.random.default_rng(1)
+    b = (jnp.asarray(rng.normal(size=(h, N, N)) * 0.1, jnp.float32)
+         if bias else None)
+    got = attention_core(q, k, v, b, None, h)
+    want = attention_core_reference(q, k, v, h, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gradient_parity():
+    B, N, C, h = 4, 19, 48, 3
+    q, k, v = _qkv(B, N, C)
+    b = jnp.asarray(np.random.default_rng(1).normal(size=(h, N, N)) * 0.1,
+                    jnp.float32)
+
+    def loss(fn, q, k, v, b):
+        y = fn(q, k, v, b)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+    gk = jax.grad(lambda *a: loss(
+        lambda q, k, v, b: attention_core(q, k, v, b, None, h), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, b)
+    gr = jax.grad(lambda *a: loss(
+        lambda q, k, v, b: attention_core_reference(q, k, v, h, b), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, b)
+    for n, a, bb in zip(["dq", "dk", "dv", "dbias"], gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
+
+
+def test_gradient_parity_grouped_no_bias():
+    B, N, C, h = 8, 32, 256, 8  # CG=128 head groups
+    q, k, v = _qkv(B, N, C)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(jnp.sin(fn(q, k, v).astype(jnp.float32)))
+
+    gk = jax.grad(lambda *a: loss(
+        lambda q, k, v: attention_core(q, k, v, None, None, h), *a),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: loss(
+        lambda q, k, v: attention_core_reference(q, k, v, h), *a),
+        argnums=(0, 1, 2))(q, k, v)
+    for n, a, bb in zip(["dq", "dk", "dv"], gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
+
+
+def _padmask(B, N, lengths):
+    """Additive key mask: 0 for t < length, -1e9 beyond (BERT padding)."""
+    m = np.zeros((B, N), np.float32)
+    for i, L in enumerate(lengths):
+        m[i, L:] = -1e9
+    return jnp.asarray(m)
+
+
+def test_forward_parity_kmask():
+    B, N, C, h = 4, 19, 48, 3
+    q, k, v = _qkv(B, N, C)
+    km = _padmask(B, N, [19, 11, 5, 16])
+    got = attention_core(q, k, v, None, km, h)
+    want = attention_core_reference(q, k, v, h, kmask=km)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gradient_parity_kmask():
+    B, N, C, h = 4, 19, 48, 3
+    q, k, v = _qkv(B, N, C)
+    km = _padmask(B, N, [19, 11, 5, 16])
+
+    def loss(fn, q, k, v):
+        return jnp.sum(jnp.sin(fn(q, k, v).astype(jnp.float32)))
+
+    gk = jax.grad(lambda *a: loss(
+        lambda q, k, v: attention_core(q, k, v, None, km, h), *a),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: loss(
+        lambda q, k, v: attention_core_reference(q, k, v, h, kmask=km), *a),
+        argnums=(0, 1, 2))(q, k, v)
+    for n, a, bb in zip(["dq", "dk", "dv"], gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
+
+
+def test_bf16_forward_runs():
+    q, k, v = _qkv(4, 19, 48, dtype=jnp.bfloat16)
+    y = attention_core(q, k, v, None, None, 3)
+    assert y.dtype == jnp.bfloat16 and y.shape == (4, 19, 48)
+    assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+# ---------------------------------------------------------------------------
+# module integrations: kernel path == XLA path on identical params
+# ---------------------------------------------------------------------------
+
+def test_beit_attention_paths_match(monkeypatch):
+    from skinjax.models.backbones.beit import BeitAttention
+
+    B, gh, gw, C, h = 2, 3, 3, 32, 2
+    N = gh * gw + 1
+    mod = BeitAttention(C, h, (gh, gw))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, N, C)) * 0.5,
+                    jnp.float32)
+    params = mod.init(jax.random.key(0), x)
+    # make the rel-pos bias non-trivial (zeros-init would hide bias bugs)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * np.random.default_rng(1).normal(size=p.shape)
+        .astype(np.float32), params)
+
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "")
+    want = mod.apply(params, x)
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "pallas")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    # grads flow through the rel-pos TABLE (gather chained outside kernel)
+    def loss(p, env):
+        monkeypatch.setenv("SKINJAX_GLOBATTN", env)
+        return jnp.sum(jnp.sin(mod.apply(p, x).astype(jnp.float32)))
+
+    gk = jax.grad(lambda p: loss(p, "pallas"))(params)
+    gr = jax.grad(lambda p: loss(p, ""))(params)
+    flat_k = jax.tree_util.tree_leaves_with_path(gk)
+    flat_r = dict(
+        (jax.tree_util.keystr(kp), g)
+        for kp, g in jax.tree_util.tree_leaves_with_path(gr))
+    for kp, g in flat_k:
+        name = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(flat_r[name]),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+    gt = np.asarray(
+        gk["params"]["rel_bias_table"])
+    assert np.abs(gt).max() > 0  # table actually receives gradient
+
+
+def test_mha_general_path_matches(monkeypatch):
+    from skinjax.ops.attention import MultiHeadAttention
+
+    B, S, D, h = 2, 11, 32, 2
+    mod = MultiHeadAttention(D, h)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, S, D)) * 0.5, jnp.float32)
+    params = mod.init(jax.random.key(0), x, x, x)
+
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "")
+    want = mod.apply(params, x, x, x)
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "pallas")
+    got = mod.apply(params, x, x, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mode_resolution(monkeypatch):
+    from skinjax.ops.pallas.global_attention import globattn_mode
+
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "pallas")
+    assert globattn_mode() == "pallas"
+    # export tracing always forces the XLA form (emitter can't express
+    # pallas_call), even over an explicit env override
+    monkeypatch.setenv("SKINJAX_EXPORT_COMPAT", "1")
+    assert globattn_mode() == ""
+    monkeypatch.delenv("SKINJAX_EXPORT_COMPAT")
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "")
+    assert globattn_mode() == ""
+    monkeypatch.delenv("SKINJAX_GLOBATTN")
+    assert globattn_mode() == ""  # CPU backend in tests -> XLA default
