@@ -57,9 +57,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 # backbones: attention qkv/proj, MLP fc1/fc2). Column-parallel layers shard
 # the OUTPUT dim (and their bias); the row-parallel partner shards the INPUT
 # dim so the pair needs exactly one psum between them (GSPMD inserts it).
-_ATTN_COL = ("attn/qkv/kernel", "mlp/fc1/kernel")
-_ATTN_COL_BIAS = ("attn/qkv/bias", "mlp/fc1/bias")
-_ATTN_ROW = ("attn/proj/kernel", "mlp/fc2/kernel")
+_ATTN_COL = (
+    "attn/qkv/kernel", "mlp/fc1/kernel",
+    # native BERT (models/text/bert.py, HF-identical tree): separate
+    # q/k/v projections + MLP intermediate are column-parallel
+    "attention/self/query/kernel", "attention/self/key/kernel",
+    "attention/self/value/kernel", "intermediate/dense/kernel",
+)
+_ATTN_COL_BIAS = (
+    "attn/qkv/bias", "mlp/fc1/bias",
+    "attention/self/query/bias", "attention/self/key/bias",
+    "attention/self/value/bias", "intermediate/dense/bias",
+)
+# "output/dense/kernel" covers BOTH BERT row-parallel partners: the
+# attention output projection (attention/output/dense) and the MLP output
+# (output/dense) — each consumes a column-sharded activation, so the pair
+# closes with one psum exactly like attn/proj + mlp/fc2.
+_ATTN_ROW = ("attn/proj/kernel", "mlp/fc2/kernel", "output/dense/kernel")
 # depthwise position-encoding convs (DaViT ConvPosEnc): channel-parallel by
 # nature — sharding them over cout keeps the activations channel-sharded
 # through the block. Leaving them replicated amid model-sharded activations

@@ -363,3 +363,66 @@ def test_checkpoint_roundtrip_preserves_fsdp_sharding(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(dstate.params)),
                     jax.tree_util.tree_leaves(jax.device_get(restored.params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_native_bert_tp_matches_single_device():
+    """Megatron-pair TP over the native BERT tower's q/k/v + MLP kernels
+    (models/text/bert.py paths wired into mesh._ATTN_COL/_ROW): a dp4xtp2
+    step on token inputs reproduces single-device numerics, extending the
+    model axis to the text tower."""
+    import optax
+    from flax import linen as nn
+
+    from skinjax.models.text.bert import NativeBertEncoder
+    from skinjax.parallel.mesh import shard_params
+
+    class Clf(nn.Module):
+        @nn.compact
+        def __call__(self, ids, mask):
+            h = NativeBertEncoder(
+                vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                intermediate_size=64, max_position_embeddings=32,
+                name="bert")(ids, mask)
+            return nn.Dense(4, name="head")(h[:, 0])
+
+    model = Clf()
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 64, (8, 12)), jnp.int32)
+    mask = jnp.asarray(np.where(rng.uniform(size=(8, 12)) > 0.2, 1, 0),
+                       jnp.int32).at[:, 0].set(1)
+    lbl = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+    params = model.init(jax.random.key(0), ids, mask)["params"]
+    tx = optax.sgd(1e-2)
+    opt0 = tx.init(params)
+
+    def step(p, o, im, mk, lb):
+        def loss_of(p):
+            logits = model.apply({"params": p}, im, mk).astype(jnp.float32)
+            return jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(lb.shape[0]), lb]
+            )
+
+        loss, g = jax.value_and_grad(loss_of)(p)
+        up, o2 = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o2, loss
+
+    p1, _, loss1 = jax.jit(step)(params, opt0, ids, mask, lbl)
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    dparams = shard_params(mesh, params, tp_attn=True)
+    dopt = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l), tx.init(dparams))
+    # per layer: q, k, v, intermediate (column) + attention-output,
+    # mlp-output (row) = 6 sharded 2-D kernels x 2 layers
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(dparams)
+        if leaf.ndim == 2 and "model" in str(leaf.sharding.spec)
+    )
+    assert n_sharded == 12, n_sharded
+    dp = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    p2, _, loss2 = jax.jit(step)(
+        dparams, dopt, jax.device_put(ids, dp), jax.device_put(mask, dp), lbl)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
