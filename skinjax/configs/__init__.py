@@ -42,6 +42,11 @@ class ExperimentConfig:
     # model dims
     common_dim: int = 512
     k_folds: int = 5
+    # sentence datasets (bert/gpt2 text towers): tokenizer truncation length
+    # (skinLesionDatasetsWithBert.py:17 default 256; train_pad_20.py:443
+    # passes 512) and the tokenizer-artifacts dir (None = $SKINJAX_TOKENIZERS)
+    max_seq_length: int = 256
+    tokenizers_dir: Optional[str] = None
 
     # training
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)

@@ -43,6 +43,26 @@ def create_model(
         return MetaNetModel(
             num_classes=num_classes, image_encoder=cnn_model_name, dtype=dtype
         )
+    if text_model_name.startswith(("bert", "gpt2")):
+        # sentence datasets (train_pad_20_with_llm-generated-sentences.py):
+        # native BERT/GPT-2 tower with the reference's per-family pooling;
+        # metadata arrives as input_ids/attention_mask (data.TokenSource)
+        from skinjax.models.text.sentence import build_sentence_tower
+
+        tower = build_sentence_tower(text_model_name, dtype=dtype)
+        return MultimodalModel(
+            num_classes=num_classes,
+            num_heads=num_heads,
+            cnn_model_name=cnn_model_name,
+            text_model_name=text_model_name,
+            text_module=tower,
+            text_input_mode="tokens",
+            text_encoder_dim_output=int(tower.encoder.hidden_size),
+            common_dim=common_dim,
+            vocab_size=vocab_size,
+            attention_mechanism=attention_mechanism,
+            dtype=dtype,
+        )
     return MultimodalModel(
         num_classes=num_classes,
         num_heads=num_heads,

@@ -26,6 +26,11 @@ from skinjax.models.text.bert import (  # noqa: F401  (re-export)
     config_from_hf,
     import_hf_bert_params,
 )
+from skinjax.models.text.gpt2 import (  # noqa: F401  (re-export)
+    NativeGPT2Encoder,
+    config_from_hf_gpt2,
+    import_hf_gpt2_params,
+)
 
 
 class OneHotMLP(nn.Module):

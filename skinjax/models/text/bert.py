@@ -316,16 +316,22 @@ def config_from_hf(config) -> dict:
 
 
 class NativeSentenceTower(nn.Module):
-    """CLS-pooled native BERT tower — drop-in for ``HFSentenceTower``
-    (same ``(input_ids, attention_mask, deterministic)`` call signature,
-    same ``last_hidden_state[:, 0]`` pooling as the reference,
-    multimodalIntraInterModal.py:180-183), but bf16-capable, TP-shardable,
-    and fused-kernel-backed. Params live under scope 'bert' (use
-    ``import_hf_bert_params`` to fill it from HF weights).
+    """Pooled native sentence tower — drop-in for ``HFSentenceTower``
+    (same ``(input_ids, attention_mask, deterministic)`` call signature),
+    but bf16-capable, TP-shardable, and fused-kernel-backed. ``pool``
+    mirrors the reference's per-family read-out
+    (multimodalIntraModalWithBert.py:88-95): "cls" = ``[:, 0]`` (BERT),
+    "last" = ``[:, -1]`` (GPT-2 — the raw final position, pad included,
+    exactly as the reference indexes it). ``encoder`` is any encoder
+    template with the (ids, mask, deterministic) -> (B, T, D) contract
+    (``NativeBertEncoder`` under scope 'bert', ``NativeGPT2Encoder`` under
+    scope 'gpt2' — fill from HF weights via the matching importer).
     """
 
-    encoder: NativeBertEncoder
+    encoder: Any
     out_dim: Optional[int] = None
+    pool: str = "cls"
+    scope_name: str = "bert"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -334,14 +340,17 @@ class NativeSentenceTower(nn.Module):
         import dataclasses
 
         # re-construct the encoder INSIDE compact so flax adopts it as a
-        # child scope named 'bert' (a template instance passed as an
-        # attribute stays unbound)
+        # child scope (a template instance passed as an attribute stays
+        # unbound)
         fields = {f.name: getattr(self.encoder, f.name)
                   for f in dataclasses.fields(self.encoder)
                   if f.init and f.name not in ("parent", "name")}
-        hidden = type(self.encoder)(**fields, name="bert")(
+        hidden = type(self.encoder)(**fields, name=self.scope_name)(
             input_ids, attention_mask, deterministic=deterministic)
-        pooled = hidden[:, 0, :]
+        if self.pool == "last":
+            pooled = hidden[:, -1, :]
+        else:
+            pooled = hidden[:, 0, :]
         if self.out_dim is not None:
             pooled = nn.Dense(self.out_dim, dtype=self.dtype,
                               name="proj")(pooled)

@@ -119,9 +119,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref, *, hg: int,
         if has_bias:
             s = s + bias_ref[hi].astype(jnp.float32)[None]
         if has_kmask:
-            # per-sample additive key mask (BERT padding), broadcast over
-            # query rows
-            s = s + kmask_ref[:].astype(jnp.float32)[:, None, :]
+            # per-sample additive key mask (BERT padding), rank-3
+            # (SB, 1, Np) — broadcasts over query rows
+            s = s + kmask_ref[:].astype(jnp.float32)
         p = jax.nn.softmax(s, axis=-1).astype(q_ref.dtype)
         o_ref[..., sl] = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -145,8 +145,12 @@ def _fwd_core(q, k, v, bias, kmask, *, num_heads: int):
     q, k, v = (_pad_n(t, Np, (1,)) for t in (q, k, v))
     bias_in = (_pad_n(bias, Np, (1, 2)) if has_bias
                else jnp.zeros((n_groups * hg, 16, 16), jnp.float32))
-    kmask_in = (_pad_n(kmask.astype(jnp.float32), Np, (1,)) if has_kmask
-                else jnp.zeros((1, 16), jnp.float32))
+    # kmask rides rank-3 (B, 1, Np) so its block's LAST TWO dims (1, Np)
+    # always span the full array — legal for any batch block SB (Mosaic
+    # requires last-two dims (8, 128)-divisible OR full-extent; SB can be
+    # < 8 for wide-channel models)
+    kmask_in = (_pad_n(kmask.astype(jnp.float32), Np, (1,))[:, None, :]
+                if has_kmask else jnp.zeros((1, 1, 16), jnp.float32))
 
     kernel = functools.partial(_fwd_kernel, hg=hg, has_bias=has_bias,
                                has_kmask=has_kmask, n_real=N)
@@ -155,9 +159,9 @@ def _fwd_core(q, k, v, bias, kmask, *, num_heads: int):
     bias_blk = pl.BlockSpec((hg,) + bias_in.shape[1:],
                             lambda g, b: (g, 0, 0),
                             memory_space=pltpu.VMEM)
-    kmask_blk = (pl.BlockSpec((SB, Np), lambda g, b: (b, 0),
+    kmask_blk = (pl.BlockSpec((SB, 1, Np), lambda g, b: (b, 0, 0),
                               memory_space=pltpu.VMEM) if has_kmask else
-                 pl.BlockSpec(kmask_in.shape, lambda g, b: (0, 0),
+                 pl.BlockSpec(kmask_in.shape, lambda g, b: (0, 0, 0),
                               memory_space=pltpu.VMEM))
     o = pl.pallas_call(
         kernel,

@@ -303,9 +303,9 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
         if has_mask:
             s = s + m
         if has_kmask:
-            # per-sample additive key mask (BERT padding): one row per
-            # batch element, broadcast over query rows
-            s = s + kmask_ref[:].astype(jnp.float32)[:, None, :]
+            # per-sample additive key mask (BERT padding): rank-3
+            # (WINB, 1, Np), broadcasts over query rows
+            s = s + kmask_ref[:].astype(jnp.float32)
         p = jax.nn.softmax(s, axis=-1)  # f32 for exact softmax bwd
         pb = p.astype(q_ref.dtype)
         # of = p @ v (recomputed forward output, feeds dwproj in _bwd_call)
@@ -362,9 +362,12 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
     else:
         mask_in = jnp.zeros((1, 16, 16), jnp.float32)
     if has_kmask:
-        kmask_in = _pad_n(kmask.astype(jnp.float32), Np, (1,))
+        # rank-3 (nB, 1, Np): the block's last two dims (1, Np) span the
+        # full array, legal for any WINB (Mosaic last-two-dims rule; WINB
+        # can be < 8 for wide-channel models)
+        kmask_in = _pad_n(kmask.astype(jnp.float32), Np, (1,))[:, None, :]
     else:
-        kmask_in = jnp.zeros((1, 16), jnp.float32)
+        kmask_in = jnp.zeros((1, 1, 16), jnp.float32)
 
     kernel = functools.partial(
         _bwd_core_kernel, hg=hg, n_win=n_win,
@@ -388,9 +391,9 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
     else:
         mask_blk = pl.BlockSpec(mask_in.shape, lambda g, i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
-    kmask_blk = (pl.BlockSpec((WINB, Np), lambda g, i: (i, 0),
+    kmask_blk = (pl.BlockSpec((WINB, 1, Np), lambda g, i: (i, 0, 0),
                               memory_space=pltpu.VMEM) if has_kmask else
-                 pl.BlockSpec(kmask_in.shape, lambda g, i: (0, 0),
+                 pl.BlockSpec(kmask_in.shape, lambda g, i: (0, 0, 0),
                               memory_space=pltpu.VMEM))
     dq, dk, dv, of, dbias = pl.pallas_call(
         kernel,

@@ -74,6 +74,13 @@ _ATTN_COL_BIAS = (
 # (output/dense) — each consumes a column-sharded activation, so the pair
 # closes with one psum exactly like attn/proj + mlp/fc2.
 _ATTN_ROW = ("attn/proj/kernel", "mlp/fc2/kernel", "output/dense/kernel")
+# native GPT-2 (models/text/gpt2.py, HF-identical tree): Conv1D kernels are
+# stored TRANSPOSED, (out, in) — FlaxConv1D layout — so the Megatron column
+# split lands on dim 0 and the row split on dim 1. The fused c_attn output
+# is a feature-dim split like qkv (GSPMD reshards non-aligned divisors).
+_CONV1D_COL = ("attn/c_attn/kernel", "mlp/c_fc/kernel")
+_CONV1D_COL_BIAS = ("attn/c_attn/bias", "mlp/c_fc/bias")
+_CONV1D_ROW = ("attn/c_proj/kernel", "mlp/c_proj/kernel")
 # depthwise position-encoding convs (DaViT ConvPosEnc): channel-parallel by
 # nature — sharding them over cout keeps the activations channel-sharded
 # through the block. Leaving them replicated amid model-sharded activations
@@ -129,8 +136,14 @@ def param_sharding_rules(
                 if (p.endswith(_ATTN_ROW)
                         and leaf.shape[0] % n_model == 0):
                     return NamedSharding(mesh, P("model", None))
+                if (p.endswith(_CONV1D_COL)
+                        and leaf.shape[0] % n_model == 0):
+                    return NamedSharding(mesh, P("model", None))
+                if (p.endswith(_CONV1D_ROW)
+                        and leaf.shape[1] % n_model == 0):
+                    return NamedSharding(mesh, P(None, "model"))
             if (tp_attn and leaf.ndim == 1
-                    and p.endswith(_ATTN_COL_BIAS)
+                    and p.endswith(_ATTN_COL_BIAS + _CONV1D_COL_BIAS)
                     and leaf.shape[0] % n_model == 0):
                 return NamedSharding(mesh, P("model"))
             if (tp_attn and leaf.ndim == 4

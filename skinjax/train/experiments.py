@@ -46,6 +46,37 @@ def build_source(prepared: PreparedDataset, images_dir: str, image_size=(224, 22
     return FileSource(store, prepared.image_files, prepared.features, prepared.labels)
 
 
+def build_token_source(
+    prepared: PreparedDataset, images_dir: str, text_model_name: str,
+    max_seq_length: int = 256, tokenizers_dir: Optional[str] = None,
+    image_size=(224, 224), cache: bool = True,
+):
+    """Sentence-dataset source: tokenize the LLM-generated ``sentence``
+    column with the native tokenizer matching ``text_model_name`` and feed
+    input_ids/attention_mask as the metadata pytree
+    (skinLesionDatasetsWithBert.py:64-73; column name ibid.:64)."""
+    from skinjax.data.pipeline import TokenSource
+    from skinjax.data.tokenize import load_tokenizer, tokenize_sentences
+
+    if prepared.raw is None or "sentence" not in prepared.raw.columns:
+        raise ValueError(
+            f"text model {text_model_name!r} needs a 'sentence' column in "
+            "the metadata CSV (LLM-generated sentences — see "
+            "skinjax.tools.sentences to create one)"
+        )
+    tok = load_tokenizer(
+        text_model_name,
+        os.path.join(tokenizers_dir, text_model_name) if tokenizers_dir
+        else None,
+    )
+    enc = tokenize_sentences(
+        prepared.raw["sentence"].astype(str).tolist(), tok,
+        max_length=max_seq_length)
+    store = ImageStore(images_dir, size=image_size, cache=cache)
+    return TokenSource(store, prepared.image_files, enc["input_ids"],
+                       enc["attention_mask"], prepared.labels)
+
+
 def run_experiments(
     cfg: ExperimentConfig,
     source=None,
@@ -71,13 +102,28 @@ def run_experiments(
         images_dir = cfg.images_dir or os.path.join(
             cfg.dataset_folder_path or ".", "images"
         )
-        source = build_source(prepared, images_dir)
+        if cfg.text_model_name.startswith(("bert", "gpt2")):
+            # sentence dataset (skinLesionDatasetsWithBert.py): tokenize the
+            # LLM-generated 'sentence' column and feed tokens as metadata
+            source = build_token_source(
+                prepared, images_dir, cfg.text_model_name,
+                max_seq_length=cfg.max_seq_length,
+                tokenizers_dir=cfg.tokenizers_dir)
+        else:
+            source = build_source(prepared, images_dir)
 
     train_cfg = cfg.train
     if train_cfg.loss == "weighted_ce" and preset["loss"] != "weighted_ce":
         import dataclasses
 
         train_cfg = dataclasses.replace(train_cfg, loss=preset["loss"])
+    if (cfg.text_model_name.startswith(("bert", "gpt2"))
+            and train_cfg.augment_recipe == "default"):
+        # sentence datasets get the heavier augmentation distribution
+        # (skinLesionDatasetsWithBert.py:84-110)
+        import dataclasses
+
+        train_cfg = dataclasses.replace(train_cfg, augment_recipe="sentence")
 
     all_metrics: List[Dict] = []
     for mechanism in cfg.attention_mechanisms:

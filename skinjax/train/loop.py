@@ -178,6 +178,14 @@ def train_process(
     # optimizer with freeze mask
     probe_tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
     state = create_train_state(model, init_rng, sample, probe_tx)
+    tower = getattr(model, "text_module", None)
+    if getattr(tower, "pretrained_params", None) is not None:
+        # sentence towers built by build_sentence_tower carry imported HF
+        # weights — graft them over the random init (no-op otherwise)
+        from skinjax.models.text.sentence import graft_pretrained
+
+        state = dataclasses.replace(
+            state, params=graft_pretrained(state.params, tower))
     mask = trainable_mask(state.params, cfg.unfreeze_weights)
     text_mode = cfg.text_train_mode
     if text_mode is None and getattr(model, "text_input_mode", "features") == "tokens":

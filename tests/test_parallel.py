@@ -426,3 +426,73 @@ def test_native_bert_tp_matches_single_device():
     for x, y in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
                     jax.tree_util.tree_leaves(jax.device_get(p2))):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+def test_native_gpt2_tp_matches_single_device():
+    """Megatron-pair TP over the native GPT-2 tower's Conv1D kernels
+    (transposed (out, in) layout — mesh._CONV1D_COL/_ROW shard dim 0/1):
+    a dp4xtp2 step on token inputs reproduces single-device numerics."""
+    import optax
+    from flax import linen as nn
+
+    from skinjax.models.text.bert import NativeSentenceTower
+    from skinjax.models.text.gpt2 import NativeGPT2Encoder
+    from skinjax.parallel.mesh import shard_params
+
+    class Clf(nn.Module):
+        @nn.compact
+        def __call__(self, ids, mask):
+            h = NativeSentenceTower(
+                encoder=NativeGPT2Encoder(
+                    vocab_size=64, hidden_size=32, num_layers=2,
+                    num_heads=2, intermediate_size=64,
+                    max_position_embeddings=32),
+                pool="last", scope_name="gpt2", name="tower")(ids, mask)
+            return nn.Dense(4, name="head")(h)
+
+    model = Clf()
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 64, (8, 12)), jnp.int32)
+    mask = jnp.asarray(np.where(rng.uniform(size=(8, 12)) > 0.2, 1, 0),
+                       jnp.int32).at[:, 0].set(1)
+    lbl = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+    params = model.init(jax.random.key(0), ids, mask)["params"]
+    tx = optax.sgd(1e-2)
+    opt0 = tx.init(params)
+
+    def step(p, o, im, mk, lb):
+        def loss_of(p):
+            logits = model.apply({"params": p}, im, mk).astype(jnp.float32)
+            return jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(lb.shape[0]), lb]
+            )
+
+        loss, g = jax.value_and_grad(loss_of)(p)
+        up, o2 = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o2, loss
+
+    p1, _, loss1 = jax.jit(step)(params, opt0, ids, mask, lbl)
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    dparams = shard_params(mesh, params, tp_attn=True)
+    dopt = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l), tx.init(dparams))
+    # per layer: c_attn, c_fc (column, dim 0) + attn c_proj, mlp c_proj
+    # (row, dim 1) = 4 sharded 2-D kernels x 2 layers
+    n_col = n_row = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(dparams):
+        if leaf.ndim != 2:
+            continue
+        spec = leaf.sharding.spec
+        if len(spec) >= 1 and spec[0] == "model":
+            n_col += 1
+        elif len(spec) >= 2 and spec[1] == "model":
+            n_row += 1
+    assert (n_col, n_row) == (4, 4), (n_col, n_row)
+    dp = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    p2, _, loss2 = jax.jit(step)(
+        dparams, dopt, jax.device_put(ids, dp), jax.device_put(mask, dp), lbl)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
