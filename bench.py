@@ -104,6 +104,77 @@ def _train_throughput(model, batch_size, loss_classes=6, freeze=False):
     return batch_size / dt, state
 
 
+def _sentence_throughput(batch_size=32, seq_len=256):
+    """BASELINE config #4: DaViT-tiny + native bf16 BERT-base tokens tower,
+    RG-ATT, text tower frozen (reference default). images/sec."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from skinjax.models import MultimodalModel
+    from skinjax.models.text.bert import NativeBertEncoder, NativeSentenceTower
+    from skinjax.train import (
+        make_loss_fn,
+        make_optimizer,
+        make_train_step,
+        trainable_mask,
+    )
+    from skinjax.train.steps import create_train_state
+
+    tower = NativeSentenceTower(
+        encoder=NativeBertEncoder(dtype=jnp.bfloat16), dtype=jnp.bfloat16)
+    model = MultimodalModel(
+        num_classes=6, num_heads=8, cnn_model_name="davit_tiny",
+        text_model_name="bert-base-uncased", text_module=tower,
+        text_input_mode="tokens", text_encoder_dim_output=768,
+        common_dim=512,
+        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 256, (batch_size, 224, 224, 3), dtype=np.uint8),
+        "metadata": {
+            "input_ids": rng.integers(1, 30000, (batch_size, seq_len)).astype(np.int32),
+            "attention_mask": np.ones((batch_size, seq_len), np.int32),
+        },
+        "label": rng.integers(0, 6, batch_size).astype(np.int32),
+    }
+    tx = make_optimizer(5e-5, 1e-4)
+    small = {k: (jax.tree_util.tree_map(lambda a: a[:2], v)
+                 if isinstance(v, dict) else v[:2]) for k, v in batch.items()}
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            state = create_train_state(model, jax.random.key(0), small, tx)
+        state = jax.device_put(state, jax.devices()[0])
+    except Exception:
+        state = create_train_state(model, jax.random.key(0), batch, tx)
+    # reference default: sentence tower frozen (text_train_mode binarized
+    # off the unfreeze_weights knob — train/loop.py)
+    mask = trainable_mask(state.params, "frozen_weights",
+                          frozen_prefixes=("text_tower", "text_module"))
+    tx = make_optimizer(5e-5, 1e-4, mask=mask)
+    state = dataclasses.replace(state, opt_state=tx.init(state.params))
+    loss_fn = make_loss_fn("weighted_ce", np.ones(6, np.float32))
+    step = make_train_step(model, tx, loss_fn, augment=True,
+                           image_dtype=jnp.bfloat16, recipe="sentence",
+                           trainable_mask=mask)
+    im = jnp.asarray(batch["image"])
+    md = jax.tree_util.tree_map(jnp.asarray, batch["metadata"])
+    lb = jnp.asarray(batch["label"])
+    key = jax.random.key(1)
+    for _ in range(WARMUP):
+        state, loss = step(state, im, md, lb, key)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(ITERS):
+        state, loss = step(state, im, md, lb, key)
+    jax.block_until_ready(loss)
+    return batch_size / ((time.time() - t0) / ITERS)
+
+
 def _infer_p50(model, state):
     """Single-image eval-path latency (p50 over 50 calls), ms."""
     import jax
@@ -198,6 +269,16 @@ def main():
         )
         swin_ips, _ = _train_throughput(swin, DAVIT_BATCH)
         extras["swin_tiny_images_per_sec"] = round(swin_ips, 1)
+    except Exception:
+        pass
+
+    try:
+        # BASELINE config #4 (skinLesionDatasetsWithBert.py): DaViT-tiny +
+        # BERT-base tokens tower (native bf16, models/text/bert.py), RG-ATT,
+        # T=256, B=32, text tower FROZEN (the reference default —
+        # loadImageModelClassifier.py:174-179). DESIGN §5f/§5f-c.
+        sent_ips = _sentence_throughput()
+        extras["sentence_frozen_images_per_sec"] = round(sent_ips, 1)
     except Exception:
         pass
 

@@ -34,11 +34,17 @@ HF-identical too.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
 from flax.linen.attention import dot_product_attention_weights
+
+# SKINJAX_REMAT=block: rematerialize each encoder layer in the backward —
+# the same capacity lever the image backbones expose (backbones/vit.py:22),
+# for unfrozen sentence training at T=512 / large batch.
+_REMAT = os.environ.get("SKINJAX_REMAT", "")
 
 
 class _BertSelfAttention(nn.Module):
@@ -175,10 +181,20 @@ class _BertLayerStack(nn.Module):
     @nn.compact
     def __call__(self, x, add_mask, *, deterministic: bool = True):
         for i in range(self.depth):
-            x = _BertLayer(self.hidden, self.heads, self.intermediate,
-                           self.attn_dropout, self.hidden_dropout,
-                           self.ln_eps, dtype=self.dtype, name=str(i))(
-                x, add_mask, deterministic=deterministic)
+            if _REMAT == "block" and not deterministic:
+                def body(mdl, y, m, _i=i):
+                    return _BertLayer(
+                        mdl.hidden, mdl.heads, mdl.intermediate,
+                        mdl.attn_dropout, mdl.hidden_dropout, mdl.ln_eps,
+                        dtype=mdl.dtype, name=str(_i))(
+                        y, m, deterministic=False)
+
+                x = nn.remat(body, prevent_cse=False)(self, x, add_mask)
+            else:
+                x = _BertLayer(self.hidden, self.heads, self.intermediate,
+                               self.attn_dropout, self.hidden_dropout,
+                               self.ln_eps, dtype=self.dtype, name=str(i))(
+                    x, add_mask, deterministic=deterministic)
         return x
 
 

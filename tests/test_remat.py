@@ -132,3 +132,48 @@ def test_remat_block_vit_beit_matches_default(monkeypatch):
                 np.asarray(a), np.asarray(b), atol=1e-5),
             g_p, g_r,
         )
+
+
+def test_remat_block_bert_matches_default(monkeypatch):
+    """The native BERT tower honors SKINJAX_REMAT=block for unfrozen
+    sentence training (T=512 / large batch): tree-identical params,
+    matching forward + gradients (models/text/bert.py)."""
+    from skinjax.models.text import bert as bert_mod
+
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 97, (2, 12)), jnp.int32)
+    mask = jnp.ones((2, 12), jnp.int32).at[1, 7:].set(0)
+
+    def make():
+        return bert_mod.NativeBertEncoder(
+            vocab_size=97, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=48,
+            hidden_dropout=0.0, attention_dropout=0.0)
+
+    monkeypatch.setattr(bert_mod, "_REMAT", "")
+    plain = make()
+    v = plain.init(jax.random.key(0), ids, mask)
+
+    monkeypatch.setattr(bert_mod, "_REMAT", "block")
+    remat = make()
+    v_r = remat.init(jax.random.key(0), ids, mask)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v_r))
+
+    def loss(variables, m):
+        out = m.apply(variables, ids, mask, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    y_p = plain.apply(v, ids, mask, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+    y_r = remat.apply(v_r, ids, mask, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), atol=1e-6)
+    g_p = jax.grad(loss)(v, plain)
+    g_r = jax.grad(loss)(v_r, remat)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        g_p, g_r,
+    )
