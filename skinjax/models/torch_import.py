@@ -113,20 +113,57 @@ def import_resnet(
 # -- the reference MultimodalModel checkpoint ---------------------------------
 
 
+def import_backbone(
+    sd: Dict[str, np.ndarray],
+    backbone: str,
+    prefix: str = "",
+) -> Tuple[Dict, Dict]:
+    """Dispatch a backbone state_dict to its family importer by skinjax
+    registry name (models/backbones). The reference stores the raw
+    torchvision/timm model at ``self.image_encoder``
+    (multimodalIntraInterModal.py:49, loadImageModelClassifier.py:115-150),
+    so a full-checkpoint import passes ``prefix="image_encoder."``.
+    Returns (params, batch_stats); pure-transformer families have no BN and
+    return empty stats."""
+    dispatch = {
+        "resnet-50": lambda: import_resnet(sd, (3, 4, 6, 3), "bottleneck", prefix),
+        "resnet-18": lambda: import_resnet(sd, (2, 2, 2, 2), "basic", prefix),
+        "vgg16": lambda: import_vgg16(sd, prefix),
+        "densenet169": lambda: import_densenet(sd, prefix=prefix),
+        "mobilenet-v2": lambda: import_mobilenet_v2(sd, prefix=prefix),
+        "efficientnet-b0": lambda: import_efficientnet(sd, prefix=prefix),
+        "efficientnet-b7": lambda: import_efficientnet(sd, depth=3.1, prefix=prefix),
+        "swin_tiny_patch4_window7_224": lambda: import_swin(sd, prefix=prefix),
+        "davit_tiny": lambda: import_davit(sd, prefix=prefix),
+        "caformer_s18": lambda: import_caformer(sd, prefix=prefix),
+        "caformer_b36": lambda: import_caformer(sd, (3, 12, 18, 3), prefix=prefix),
+        "mvitv2_small": lambda: import_mvit(sd, (1, 2, 11, 2), prefix=prefix),
+        "nextvit_small": lambda: import_nextvit(sd, prefix=prefix),
+        "coat_lite_small": lambda: import_coat(
+            sd, (3, 4, 6, 3), n_windows=3, prefix=prefix),
+        "beitv2_large_patch16_224": lambda: import_beit(sd, 24, prefix=prefix),
+        "vit_tiny_patch16_224": lambda: import_vit(sd, 12, 192, prefix=prefix),
+        "vit_small_patch16_224": lambda: import_vit(sd, 12, 384, prefix=prefix),
+        "vit_base_patch16_224": lambda: import_vit(sd, 12, 768, prefix=prefix),
+        "vit_large_patch16_224": lambda: import_vit(sd, 24, 1024, prefix=prefix),
+    }
+    if backbone not in dispatch:
+        raise NotImplementedError(f"importer for backbone '{backbone}'")
+    out = dispatch[backbone]()
+    if isinstance(out, tuple):
+        return out
+    return out, {}
+
+
 def import_multimodal_checkpoint(
     sd: Dict[str, np.ndarray],
     common_dim: int = 512,
     backbone: str = "resnet-50",
 ) -> Tuple[Dict, Dict]:
     """Reference MultimodalModel state_dict (multimodalIntraInterModal.py) ->
-    (params, batch_stats) for skinjax MultimodalModel. Supports the resnet
-    backbones; extend per-backbone as importers land."""
-    if backbone == "resnet-50":
-        enc_p, enc_s = import_resnet(sd, (3, 4, 6, 3), "bottleneck", "image_encoder.")
-    elif backbone == "resnet-18":
-        enc_p, enc_s = import_resnet(sd, (2, 2, 2, 2), "basic", "image_encoder.")
-    else:
-        raise NotImplementedError(f"importer for backbone '{backbone}'")
+    (params, batch_stats) for skinjax MultimodalModel. The backbone subtree
+    routes through :func:`import_backbone`, covering every registry family."""
+    enc_p, enc_s = import_backbone(sd, backbone, "image_encoder.")
 
     params: Dict = {"image_encoder": enc_p}
     stats: Dict = {"image_encoder": enc_s}
@@ -139,6 +176,13 @@ def import_multimodal_checkpoint(
             "fc1": t2f_linear(sd, "text_fc.2"),
             "fc2": t2f_linear(sd, "text_fc.4"),
         }
+    elif any(k.startswith("text_encoder.") for k in sd):
+        # sentence model: HF BERT/GPT-2 tower at self.text_encoder
+        # (multimodalIntraInterModal.py:66) -> NativeSentenceTower scope.
+        # Tokens-mode models pass the tower as the ``text_module`` field,
+        # which is the flax scope name it gets (fusion/multimodal.py:106).
+        enc_params, scope = import_text_encoder(sd)
+        params["text_module"] = {scope: enc_params}
     for name in ("image_self_attention", "text_self_attention",
                  "image_cross_attention", "text_cross_attention"):
         if f"{name}.in_proj_weight" in sd:
@@ -820,6 +864,105 @@ def import_vit(sd: Dict[str, np.ndarray], depth: int, dim: int,
             "mlp_out": t2f_linear(sd, P(f"{b}.mlp.fc2")),
         }
     return params
+
+
+# -- HF text encoders (torch layout) ------------------------------------------
+
+
+def import_torch_bert(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """HF torch ``BertModel`` state_dict -> ``NativeBertEncoder`` params (the
+    HF-Flax-identical tree, models/text/bert.py). The reference saves the
+    sentence tower at ``self.text_encoder``
+    (multimodalIntraInterModal.py:66), so a full-checkpoint import passes
+    ``prefix="text_encoder."``. The pooler (unused — the tower CLS-pools the
+    last hidden state) and the ``position_ids`` buffer are skipped; depth is
+    inferred from the keys."""
+    P = lambda s: f"{prefix}{s}"
+    emb = {
+        "word_embeddings": {
+            "embedding": sd[P("embeddings.word_embeddings.weight")]},
+        "position_embeddings": {
+            "embedding": sd[P("embeddings.position_embeddings.weight")]},
+        "token_type_embeddings": {
+            "embedding": sd[P("embeddings.token_type_embeddings.weight")]},
+        "LayerNorm": t2f_ln(sd, P("embeddings.LayerNorm")),
+    }
+    depth = 0
+    while P(f"encoder.layer.{depth}.attention.self.query.weight") in sd:
+        depth += 1
+    layers = {}
+    for i in range(depth):
+        b = P(f"encoder.layer.{i}")
+        layers[str(i)] = {
+            "attention": {
+                "self": {
+                    "query": t2f_linear(sd, f"{b}.attention.self.query"),
+                    "key": t2f_linear(sd, f"{b}.attention.self.key"),
+                    "value": t2f_linear(sd, f"{b}.attention.self.value"),
+                },
+                "output": {
+                    "dense": t2f_linear(sd, f"{b}.attention.output.dense"),
+                    "LayerNorm": t2f_ln(sd, f"{b}.attention.output.LayerNorm"),
+                },
+            },
+            "intermediate": {
+                "dense": t2f_linear(sd, f"{b}.intermediate.dense")},
+            "output": {
+                "dense": t2f_linear(sd, f"{b}.output.dense"),
+                "LayerNorm": t2f_ln(sd, f"{b}.output.LayerNorm"),
+            },
+        }
+    return {"embeddings": emb, "encoder": {"layer": layers}}
+
+
+def import_torch_gpt2(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """HF torch ``GPT2Model`` state_dict -> ``NativeGPT2Encoder`` params.
+
+    torch Conv1D stores weights (in, out); the Flax tree stores kernels
+    (out, in) (models/text/gpt2._Conv1D), so every Conv1D kernel transposes.
+    The causal-mask buffers (``attn.bias``/``attn.masked_bias``) are
+    skipped; depth is inferred from the keys."""
+    P = lambda s: f"{prefix}{s}"
+
+    def conv1d(name):
+        out = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+        if f"{name}.bias" in sd:
+            out["bias"] = sd[f"{name}.bias"]
+        return out
+
+    depth = 0
+    while P(f"h.{depth}.ln_1.weight") in sd:
+        depth += 1
+    h = {}
+    for i in range(depth):
+        b = P(f"h.{i}")
+        h[str(i)] = {
+            "ln_1": t2f_ln(sd, f"{b}.ln_1"),
+            "attn": {"c_attn": conv1d(f"{b}.attn.c_attn"),
+                     "c_proj": conv1d(f"{b}.attn.c_proj")},
+            "ln_2": t2f_ln(sd, f"{b}.ln_2"),
+            "mlp": {"c_fc": conv1d(f"{b}.mlp.c_fc"),
+                    "c_proj": conv1d(f"{b}.mlp.c_proj")},
+        }
+    return {
+        "wte": {"embedding": sd[P("wte.weight")]},
+        "wpe": {"embedding": sd[P("wpe.weight")]},
+        "h": h,
+        "ln_f": t2f_ln(sd, P("ln_f")),
+    }
+
+
+def import_text_encoder(sd: Dict[str, np.ndarray],
+                        prefix: str = "text_encoder.") -> Tuple[Dict, str]:
+    """Detect and import the HF text encoder inside a reference sentence-
+    model checkpoint. Returns (encoder_params, scope_name) where scope_name
+    is the ``NativeSentenceTower`` child scope ('bert'/'gpt2')."""
+    if f"{prefix}wte.weight" in sd:
+        return import_torch_gpt2(sd, prefix), "gpt2"
+    if f"{prefix}embeddings.word_embeddings.weight" in sd:
+        return import_torch_bert(sd, prefix), "bert"
+    raise NotImplementedError(
+        f"no recognizable HF text encoder under '{prefix}'")
 
 
 def filter_to_template(tree: Dict, template: Dict) -> Dict:

@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--categorical-cols", nargs="*", default=[])
     p.add_argument("--numerical-cols", nargs="*", default=[])
     p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--text-model", default="one-hot-encoder",
+                   help="text tower of the checkpoint: 'one-hot-encoder' "
+                        "(default) or an HF name ('bert-base-uncased', "
+                        "'gpt2') for sentence models whose state_dict "
+                        "carries text_encoder.* weights")
+    p.add_argument("--max-seq-length", type=int, default=256)
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -76,13 +82,34 @@ def main(argv=None):
         sd, common_dim=args.common_dim, backbone=args.backbone
     )
 
-    model = MultimodalModel(
-        num_classes=num_classes, num_heads=args.num_heads,
-        cnn_model_name=args.backbone, common_dim=args.common_dim,
-        vocab_size=vocab, attention_mechanism=args.mechanism,
-    )
+    if args.text_model != "one-hot-encoder":
+        # sentence model: tokens-mode template; the encoder config comes
+        # from the checkpoint's own text_encoder.* shapes via
+        # build_sentence_tower's config fallback (weights are imported
+        # below, so random init in the template is irrelevant)
+        from skinjax.models.text.sentence import build_sentence_tower
+
+        tower = build_sentence_tower(args.text_model)
+        dim = tower.encoder.hidden_size
+        model = MultimodalModel(
+            num_classes=num_classes, num_heads=args.num_heads,
+            cnn_model_name=args.backbone, common_dim=args.common_dim,
+            text_model_name=args.text_model, text_module=tower,
+            text_input_mode="tokens", text_encoder_dim_output=dim,
+            attention_mechanism=args.mechanism,
+        )
+        meta = {
+            "input_ids": jnp.zeros((1, args.max_seq_length), jnp.int32),
+            "attention_mask": jnp.ones((1, args.max_seq_length), jnp.int32),
+        }
+    else:
+        model = MultimodalModel(
+            num_classes=num_classes, num_heads=args.num_heads,
+            cnn_model_name=args.backbone, common_dim=args.common_dim,
+            vocab_size=vocab, attention_mechanism=args.mechanism,
+        )
+        meta = jnp.zeros((1, vocab))
     img = jnp.zeros((1, args.image_size, args.image_size, 3))
-    meta = jnp.zeros((1, vocab))
     template = model.init(jax.random.key(0), img, meta)
     params = filter_to_template(params, template["params"])
     stats = filter_to_template(stats, template.get("batch_stats", {}))
@@ -94,6 +121,8 @@ def main(argv=None):
             "backbone": args.backbone, "common_dim": args.common_dim,
             "mechanism": args.mechanism, "num_heads": args.num_heads,
             "num_classes": num_classes, "vocab_size": vocab,
+            "text_model": args.text_model,
+            "max_seq_length": args.max_seq_length,
         }, f, indent=1)
     print(json.dumps({"out": args.out, "num_classes": num_classes,
                       "vocab_size": vocab}))

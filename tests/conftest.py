@@ -7,6 +7,9 @@ import os
 # The session env pins JAX_PLATFORMS=axon (the tunneled TPU); tests must
 # override it — force CPU before jax initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# zero-egress container: skip huggingface_hub's 5x8s DNS-retry stall when a
+# test path calls from_pretrained (it falls back to config defaults anyway)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
