@@ -1,0 +1,79 @@
+"""End-to-end experiment run ON CHIP: the full production loop — weighted
+sampler, host prefetch, jitted train steps, per-epoch eval, plateau LR +
+early stopping, best-checkpoint persistence, artifact writing — through
+``run_experiments``, not an isolated train step. Measures what a user of the
+reference's train_pad_20.py actually experiences per fold/epoch and
+quantifies the input-pipeline + eval overhead over the bench.py step
+ceiling (2232 img/s flagship).
+
+Synthetic PAD-20-shaped dataset: n=2048, 224x224 uint8, 91 one-hot
+features, 6 classes (the fake-dataset fixture, data/pipeline.py).
+"""
+import json
+import os
+import shutil
+import time
+
+os.environ.setdefault("SKINJAX_WINATTN", "pallas")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from skinjax.configs import ExperimentConfig
+from skinjax.data import synthetic_source
+from skinjax.data.featurizer import MetadataFeaturizer
+from skinjax.data.schemas import PreparedDataset
+from skinjax.train.experiments import run_experiments
+from skinjax.train.loop import TrainConfig
+
+OUT = "/tmp/skinjax_e2e"
+shutil.rmtree(OUT, ignore_errors=True)
+os.makedirs(OUT, exist_ok=True)
+
+N, NCLS, B, EPOCHS = 2048, 6, 128, 3
+src = synthetic_source(n=N, image_size=(224, 224), feature_dim=91,
+                       num_classes=NCLS)
+classes = [f"c{i}" for i in range(NCLS)]
+fz = MetadataFeaturizer(categorical_cols=[], numerical_cols=[])
+fz.label_encoder.classes = classes
+prepared = PreparedDataset(
+    name="synthetic", image_files=[str(i) for i in range(N)],
+    features=src.features, labels=src.labels,
+    groups=np.arange(N), class_names=classes, featurizer=fz, raw=None,
+)
+cfg = ExperimentConfig(
+    attention_mechanisms=["att-intramodal+residual+cross-attention-metadados"],
+    cnn_model_names=["resnet-50"],
+    list_num_heads=[8],
+    common_dim=512,
+    k_folds=2,
+    results_folder_path=OUT,
+    save_to_disk=True,
+    train=TrainConfig(num_epochs=EPOCHS, batch_size=B,
+                      image_dtype="bfloat16", augment=True,
+                      early_stopping_patience=10),
+)
+
+t0 = time.perf_counter()
+metrics = run_experiments(cfg, source=src, prepared=prepared)
+wall = time.perf_counter() - t0
+
+train_imgs_per_fold = int(N * (cfg.k_folds - 1) / cfg.k_folds) * EPOCHS
+print(json.dumps({
+    "folds": len(metrics),
+    "wall_s": round(wall, 1),
+    "wall_per_fold_s": round(wall / max(len(metrics), 1), 1),
+    "train_images_total": train_imgs_per_fold * len(metrics),
+    "e2e_train_images_per_sec": round(
+        train_imgs_per_fold * len(metrics) / wall, 1),
+    "bacc": [round(float(m["balanced_accuracy"]), 4) for m in metrics],
+}, indent=None))
+
+print("\nartifacts under", OUT, ":")
+for root, _dirs, files in os.walk(OUT):
+    for f in sorted(files):
+        p = os.path.join(root, f)
+        print(f"  {os.path.relpath(p, OUT):60s} {os.path.getsize(p)}")

@@ -94,7 +94,7 @@ class BeitAttention(nn.Module):
             # (measured beitv2_large B=32: 215.5 -> see DESIGN §5h)
             out = attention_core(
                 qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:],
-                rel_bias, None, h,
+                rel_bias, None, None, h,
             )
             return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 

@@ -20,8 +20,10 @@ mirror ``transformers.models.bert.modeling_flax_bert``), so pretrained HF
 weights drop in verbatim via ``import_hf_bert_params`` — no key remapping —
 and the whole tower composes with skinjax dtype policy, freeze masks, and
 the fused global-attention Pallas kernel
-(``skinjax.ops.pallas.global_attention``; engaged when attention-prob
-dropout is inert — eval, or rate 0 — and the backend is TPU).
+(``skinjax.ops.pallas.global_attention``; engaged whenever the backend is
+TPU — training attention-prob dropout rides in-kernel as the ONE (T, T)
+broadcast mask HF's broadcast_dropout=True draws, same RNG stream as the
+XLA path).
 
 Numerical semantics match HF Flax exactly in float32 eval (parity-tested
 against ``FlaxBertModel`` in tests/test_native_bert.py): exact (erf) GELU,
@@ -37,6 +39,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from flax.linen.attention import dot_product_attention_weights
@@ -67,13 +70,26 @@ class _BertSelfAttention(nn.Module):
 
         # is_initializing: init may run pinned to CPU (fast-init pattern)
         # where a compiled pallas_call cannot lower; the core is param-free
-        if (globattn_mode() == "pallas"
-                and not self.is_initializing()
-                and (deterministic or self.attn_dropout == 0.0)):
+        if globattn_mode() == "pallas" and not self.is_initializing():
             # fused scores->softmax->p@v on the head-major channel layout
             # the Dense outputs already have; the additive key mask rides
-            # as a (B, T) kernel input
-            return attention_core(q, k, v, None, add_mask, self.heads)
+            # as a (B, T) kernel input. Training attention-prob dropout
+            # rides IN-KERNEL as a multiplicative post-softmax mask: HF's
+            # broadcast_dropout=True draws ONE (1, 1, T, T) keep mask shared
+            # over batch+heads, so the exact same bernoulli draw (same
+            # "dropout" RNG stream as the XLA branch below) becomes a single
+            # small kernel operand — the kernel no longer drops out of the
+            # default train step (docs/DESIGN.md §5f-c finding 2).
+            pmult = None
+            if not deterministic and self.attn_dropout > 0.0:
+                T = x.shape[1]
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.attn_dropout,
+                    (1, 1, T, T))
+                pmult = (keep.astype(jnp.float32)
+                         / jnp.asarray(1.0 - self.attn_dropout, jnp.float32)
+                         )[0, 0]
+            return attention_core(q, k, v, None, add_mask, pmult, self.heads)
 
         B, T, _ = x.shape
         hd = D // self.heads

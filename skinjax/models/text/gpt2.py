@@ -76,15 +76,26 @@ class _GPT2Attention(nn.Module):
             <= jax.lax.broadcasted_iota(jnp.int32, (T, T), 0),
             0.0, -1e9).astype(jnp.float32)
 
-        if (globattn_mode() == "pallas"
-                and not self.is_initializing()
-                and (deterministic or self.attn_dropout == 0.0)):
+        if globattn_mode() == "pallas" and not self.is_initializing():
             # causal structure as a constant per-head bias; key padding as
             # the (B, T) additive mask input. q/k/v from the packed c_attn
             # are already in the head-major channel layout the core wants.
+            # Training attention-prob dropout rides in-kernel: HF's
+            # broadcast_dropout=True is ONE (1, 1, T, T) keep mask shared
+            # over batch+heads — the same bernoulli draw (same "dropout"
+            # stream as the XLA branch) becomes a single small kernel
+            # operand (models/text/bert.py has the twin path).
+            pmult = None
+            if not deterministic and self.attn_dropout > 0.0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.attn_dropout,
+                    (1, 1, T, T))
+                pmult = (keep.astype(jnp.float32)
+                         / jnp.asarray(1.0 - self.attn_dropout, jnp.float32)
+                         )[0, 0]
             bias = jnp.broadcast_to(causal[None], (self.heads, T, T))
             y = attention_core(q, k, v, jax.lax.stop_gradient(bias),
-                               add_mask, self.heads)
+                               add_mask, pmult, self.heads)
         else:
             qh = q.reshape(B, T, self.heads, hd)
             kh = k.reshape(B, T, self.heads, hd)

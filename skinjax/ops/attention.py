@@ -116,7 +116,7 @@ class MultiHeadAttention(nn.Module):
             # fused scores->softmax->p@v core on the head-major channel
             # layout the Dense outputs already have — no head reshape, no
             # HBM (B, h, S, S) score tensor (ops/pallas/global_attention.py)
-            out = attention_core(qh, kh, vh, None, None, self.num_heads)
+            out = attention_core(qh, kh, vh, None, None, None, self.num_heads)
             return dense("out_proj")(out)
         shape = lambda x, S: x.reshape(B, S, self.num_heads, head_dim)
         qh, kh, vh = shape(qh, Sq), shape(kh, Skv), shape(vh, Skv)

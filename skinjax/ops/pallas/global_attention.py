@@ -72,11 +72,14 @@ def globattn_mode() -> str:
     return ""
 
 
-def attention_core_reference(q, k, v, num_heads, bias=None, kmask=None):
+def attention_core_reference(q, k, v, num_heads, bias=None, kmask=None,
+                             pmult=None):
     """Pure-XLA reference (also the parity-test oracle). q/k/v: (B, N, C)
     head-major channel layout; bias: (h, N, N) additive or None; kmask:
-    (B, N) per-sample additive key mask (0 keep / -1e9 drop) or None.
-    Returns (B, N, C) in q.dtype with f32 logit accumulation."""
+    (B, N) per-sample additive key mask (0 keep / -1e9 drop) or None;
+    pmult: (N, N) f32 multiplicative post-softmax mask (flax broadcast
+    attention-prob dropout — keep/keep_prob shared over batch+heads) or
+    None. Returns (B, N, C) in q.dtype with f32 logit accumulation."""
     B, N, C = q.shape
     h = num_heads
     hd = C // h
@@ -89,7 +92,10 @@ def attention_core_reference(q, k, v, num_heads, bias=None, kmask=None):
         s = s + bias[None].astype(s.dtype)
     if kmask is not None:
         s = s + kmask[:, None, None, :].astype(s.dtype)
-    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    if pmult is not None:
+        p = p * pmult[None, None].astype(p.dtype)
+    p = p.astype(q.dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", p, vh).reshape(B, N, C)
 
 
@@ -99,8 +105,9 @@ def _fwd_block_bytes(Np: int, CG: int, itemsize: int) -> int:
     return Np * (4 * CG * itemsize + 4 * CG + 8 * Np)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref, *, hg: int,
-                has_bias: bool, has_kmask: bool, n_real: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, pmult_ref, o_ref,
+                *, hg: int, has_bias: bool, has_kmask: bool,
+                has_pmult: bool, n_real: int):
     SB, Np, CG = q_ref.shape
     hd = CG // hg
     scale = hd ** -0.5
@@ -122,26 +129,40 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref, *, hg: int,
             # per-sample additive key mask (BERT padding), rank-3
             # (SB, 1, Np) — broadcasts over query rows
             s = s + kmask_ref[:].astype(jnp.float32)
-        p = jax.nn.softmax(s, axis=-1).astype(q_ref.dtype)
+        p = jax.nn.softmax(s, axis=-1)
+        if has_pmult:
+            # broadcast attention-prob dropout: ONE (N, N) f32 multiplier
+            # shared over batch+heads (flax broadcast_dropout=True), applied
+            # in f32 exactly as dot_product_attention_weights does
+            p = p * pmult_ref[0].astype(jnp.float32)[None]
+        p = p.astype(q_ref.dtype)
         o_ref[..., sl] = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
 
 
-def _fwd_core(q, k, v, bias, kmask, *, num_heads: int):
+def _fwd_core(q, k, v, bias, kmask, pmult, *, num_heads: int):
     B, N, C = q.shape
     hd = C // num_heads
     hg = _heads_per_group(num_heads, hd)
     n_groups = num_heads // hg
     has_bias = bias is not None
     has_kmask = kmask is not None
+    has_pmult = pmult is not None
     # Mosaic shape-casts need sublane-aligned dims: pad the token axis to a
     # multiple of 16 (padded keys masked to -inf in-kernel; padded query
     # rows are sliced off the output)
     Np = -(-N // 16) * 16
     CG = hg * hd
-    SB = _pick_winb(B, 1, _fwd_block_bytes(Np, CG, q.dtype.itemsize))
+    per_row = _fwd_block_bytes(Np, CG, q.dtype.itemsize)
+    SB = _pick_winb(B, 1, per_row)
+    if has_pmult:
+        # pmult is a fixed (Np, Np) f32 block shared by every grid cell —
+        # shrink the batch block until the total stays under the scoped-vmem
+        # budget (SB from _pick_winb is a power of two dividing B)
+        while SB > 1 and SB * per_row + 4 * Np * Np > _VMEM_BUDGET:
+            SB //= 2
     q, k, v = (_pad_n(t, Np, (1,)) for t in (q, k, v))
     bias_in = (_pad_n(bias, Np, (1, 2)) if has_bias
                else jnp.zeros((n_groups * hg, 16, 16), jnp.float32))
@@ -151,9 +172,14 @@ def _fwd_core(q, k, v, bias, kmask, *, num_heads: int):
     # < 8 for wide-channel models)
     kmask_in = (_pad_n(kmask.astype(jnp.float32), Np, (1,))[:, None, :]
                 if has_kmask else jnp.zeros((1, 1, 16), jnp.float32))
+    # (1, Np, Np): one shared block; zero-padded rows/cols touch only
+    # -inf'd scores (p = 0) or sliced-off query rows
+    pmult_in = (_pad_n(pmult.astype(jnp.float32)[None], Np, (1, 2))
+                if has_pmult else jnp.zeros((1, 16, 16), jnp.float32))
 
     kernel = functools.partial(_fwd_kernel, hg=hg, has_bias=has_bias,
-                               has_kmask=has_kmask, n_real=N)
+                               has_kmask=has_kmask, has_pmult=has_pmult,
+                               n_real=N)
     blk = pl.BlockSpec((SB, Np, CG), lambda g, b: (b, 0, g),
                        memory_space=pltpu.VMEM)
     bias_blk = pl.BlockSpec((hg,) + bias_in.shape[1:],
@@ -163,35 +189,40 @@ def _fwd_core(q, k, v, bias, kmask, *, num_heads: int):
                               memory_space=pltpu.VMEM) if has_kmask else
                  pl.BlockSpec(kmask_in.shape, lambda g, b: (0, 0, 0),
                               memory_space=pltpu.VMEM))
+    pmult_blk = pl.BlockSpec(pmult_in.shape, lambda g, b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     o = pl.pallas_call(
         kernel,
         grid=(n_groups, B // SB),
-        in_specs=[blk, blk, blk, bias_blk, kmask_blk],
+        in_specs=[blk, blk, blk, bias_blk, kmask_blk, pmult_blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((B, Np, C), q.dtype),
         interpret=_interpret(),
-    )(q, k, v, bias_in, kmask_in)
+    )(q, k, v, bias_in, kmask_in, pmult_in)
     return o[:, :N, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def attention_core(q, k, v, bias, kmask, num_heads):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def attention_core(q, k, v, bias, kmask, pmult, num_heads):
     """Fused global MHA core. q/k/v: (B, N, C) head-major channel layout
     (minor-axis slices of a packed qkv projection); ``bias``: (h, N, N)
     additive per-head bias or None (differentiable); ``kmask``: (B, N)
     per-sample additive key mask (0 keep / -1e9 drop) or None (constant —
-    its cotangent is zero). Returns (B, N, C). Requires equal q/k sequence
-    lengths (self-attention shapes)."""
-    return _fwd_core(q, k, v, bias, kmask, num_heads=num_heads)
+    its cotangent is zero); ``pmult``: (N, N) f32 multiplicative
+    post-softmax mask or None — flax broadcast attention-prob dropout
+    (keep/keep_prob, ONE draw shared over batch+heads; constant, zero
+    cotangent). Returns (B, N, C). Requires equal q/k sequence lengths
+    (self-attention shapes)."""
+    return _fwd_core(q, k, v, bias, kmask, pmult, num_heads=num_heads)
 
 
-def _ac_fwd(q, k, v, bias, kmask, num_heads):
-    y = _fwd_core(q, k, v, bias, kmask, num_heads=num_heads)
-    return y, (q, k, v, bias, kmask)
+def _ac_fwd(q, k, v, bias, kmask, pmult, num_heads):
+    y = _fwd_core(q, k, v, bias, kmask, pmult, num_heads=num_heads)
+    return y, (q, k, v, bias, kmask, pmult)
 
 
 def _ac_bwd(num_heads, res, dy):
-    q, k, v, bias, kmask = res
+    q, k, v, bias, kmask, pmult = res
     has_bias = bias is not None
     # the split core recomputes softmax per block and emits dq/dk/dv (+
     # dbias accumulated in-kernel); its `of` output feeds projection grads
@@ -200,11 +231,12 @@ def _ac_bwd(num_heads, res, dy):
     dq, dk, dv, _of, dbias = _bwd_core(
         q, k, v, dy, bias if has_bias else None, None,
         num_heads=num_heads, has_bias=has_bias, has_mask=False, n_win=1,
-        kmask=kmask,
+        kmask=kmask, pmult=pmult,
     )
     return (dq, dk, dv,
             dbias.astype(bias.dtype) if has_bias else None,
-            jnp.zeros_like(kmask) if kmask is not None else None)
+            jnp.zeros_like(kmask) if kmask is not None else None,
+            jnp.zeros_like(pmult) if pmult is not None else None)
 
 
 attention_core.defvjp(_ac_fwd, _ac_bwd)

@@ -263,9 +263,10 @@ def _heads_per_group(h: int, hd: int) -> int:
 
 
 def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
-                     kmask_ref, dq_ref, dk_ref, dv_ref, of_ref, dbias_ref,
-                     *, hg: int, n_win: int, has_bias: bool, has_mask: bool,
-                     has_kmask: bool, n_real: int, scale: float):
+                     kmask_ref, pmult_ref, dq_ref, dk_ref, dv_ref, of_ref,
+                     dbias_ref, *, hg: int, n_win: int, has_bias: bool,
+                     has_mask: bool, has_kmask: bool, has_pmult: bool,
+                     n_real: int, scale: float):
     """Attention-core backward for one (head-group, window-block) grid cell:
     recompute scores/softmax, emit dq/dk/dv and of = p·v (the pre-projection
     forward output, recomputed here instead of stored by the forward —
@@ -307,7 +308,15 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
             # (WINB, 1, Np), broadcasts over query rows
             s = s + kmask_ref[:].astype(jnp.float32)
         p = jax.nn.softmax(s, axis=-1)  # f32 for exact softmax bwd
-        pb = p.astype(q_ref.dtype)
+        if has_pmult:
+            # broadcast attention-prob dropout (flax broadcast_dropout=True:
+            # ONE (N, N) keep/keep_prob multiplier shared over batch+heads);
+            # out = (p*m) @ v, so dv/of use p*m and dp picks up the m factor
+            # BEFORE the softmax vjp
+            mlt = pmult_ref[0].astype(jnp.float32)[None]
+            pb = (p * mlt).astype(q_ref.dtype)
+        else:
+            pb = p.astype(q_ref.dtype)
         # of = p @ v (recomputed forward output, feeds dwproj in _bwd_call)
         of_ref[..., sl] = jax.lax.dot_general(
             pb, v, (((2,), (1,)), ((0,), (0,))),
@@ -323,6 +332,8 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
             do_h, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        if has_pmult:
+            dp = dp * mlt
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
         if has_bias:
             dbias_ref[hi] += jnp.sum(ds, axis=0)
@@ -338,18 +349,28 @@ def _bwd_core_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref,
 
 
 def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
-              has_bias: bool, has_mask: bool, n_win: int, kmask=None):
+              has_bias: bool, has_mask: bool, n_win: int, kmask=None,
+              pmult=None):
     """q/k/v/do: (nB, N, C) head-major channel layout. ``kmask``: optional
     per-sample additive key mask (nB, N) f32 (global-attention padding;
-    constant, no gradient). Returns (dq, dk, dv, of, dbias) with
-    dq/dk/dv/of in q.dtype and dbias f32 (h, N, N)."""
+    constant, no gradient). ``pmult``: optional (N, N) f32 multiplicative
+    post-softmax mask — flax broadcast attention-prob dropout, shared over
+    batch+heads (constant, no gradient). Returns (dq, dk, dv, of, dbias)
+    with dq/dk/dv/of in q.dtype and dbias f32 (h, N, N)."""
     nB, N, C = q.shape
     hd = C // num_heads
     hg = _heads_per_group(num_heads, hd)
     n_groups = num_heads // hg
     Np = -(-N // 16) * 16
-    WINB = _pick_winb(
-        nB, n_win, _bwd_window_bytes(Np, hg * hd, q.dtype.itemsize))
+    per_win = _bwd_window_bytes(Np, hg * hd, q.dtype.itemsize)
+    WINB = _pick_winb(nB, n_win, per_win)
+    if pmult is not None:
+        # pmult (global-attention dropout; never coexists with the windowed
+        # mask) is a fixed (Np, Np) f32 block shared by every grid cell —
+        # shrink the batch block until the total stays under budget (WINB is
+        # a power of two dividing nB in the n_win=1 global path)
+        while WINB > 1 and WINB * per_win + 4 * Np * Np > _VMEM_BUDGET:
+            WINB //= 2
     n_real = N
     has_kmask = kmask is not None
     q, k, v, do = (_pad_n(t, Np, (1,)) for t in (q, k, v, do))
@@ -368,11 +389,18 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
         kmask_in = _pad_n(kmask.astype(jnp.float32), Np, (1,))[:, None, :]
     else:
         kmask_in = jnp.zeros((1, 1, 16), jnp.float32)
+    has_pmult = pmult is not None
+    if has_pmult:
+        # rank-3 (1, Np, Np), one shared block; padded rows/cols touch only
+        # -inf'd scores (p = 0) or sliced-off query rows
+        pmult_in = _pad_n(pmult.astype(jnp.float32)[None], Np, (1, 2))
+    else:
+        pmult_in = jnp.zeros((1, 16, 16), jnp.float32)
 
     kernel = functools.partial(
         _bwd_core_kernel, hg=hg, n_win=n_win,
         has_bias=has_bias, has_mask=has_mask, has_kmask=has_kmask,
-        n_real=n_real, scale=hd ** -0.5,
+        has_pmult=has_pmult, n_real=n_real, scale=hd ** -0.5,
     )
     # grid: head-group OUTER, window-block INNER (dbias blocks are revisited
     # consecutively across the inner dim, as Mosaic requires)
@@ -395,10 +423,13 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
                               memory_space=pltpu.VMEM) if has_kmask else
                  pl.BlockSpec(kmask_in.shape, lambda g, i: (0, 0, 0),
                               memory_space=pltpu.VMEM))
+    pmult_blk = pl.BlockSpec(pmult_in.shape, lambda g, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     dq, dk, dv, of, dbias = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk, blk, blk, blk, bias_blk, mask_blk, kmask_blk],
+        in_specs=[blk, blk, blk, blk, bias_blk, mask_blk, kmask_blk,
+                  pmult_blk],
         out_specs=[blk, blk, blk, blk, bias_blk],
         out_shape=[
             jax.ShapeDtypeStruct((nB, Np, C), q.dtype),
@@ -408,7 +439,7 @@ def _bwd_core(q, k, v, do, bias_in, mask_in, *, num_heads: int,
             jax.ShapeDtypeStruct(bias_in.shape, jnp.float32),
         ],
         interpret=_interpret(),
-    )(q, k, v, do, bias_in, mask_in, kmask_in)
+    )(q, k, v, do, bias_in, mask_in, kmask_in, pmult_in)
     return (dq[:, :N, :], dk[:, :N, :], dv[:, :N, :], of[:, :N, :],
             dbias[:, :N, :N] if has_bias else None)
 

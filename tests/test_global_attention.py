@@ -35,7 +35,7 @@ def test_forward_parity(B, N, C, h, bias):
     rng = np.random.default_rng(1)
     b = (jnp.asarray(rng.normal(size=(h, N, N)) * 0.1, jnp.float32)
          if bias else None)
-    got = attention_core(q, k, v, b, None, h)
+    got = attention_core(q, k, v, b, None, None, h)
     want = attention_core_reference(q, k, v, h, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
@@ -52,7 +52,7 @@ def test_gradient_parity():
         return jnp.sum(jnp.sin(y.astype(jnp.float32)))
 
     gk = jax.grad(lambda *a: loss(
-        lambda q, k, v, b: attention_core(q, k, v, b, None, h), *a),
+        lambda q, k, v, b: attention_core(q, k, v, b, None, None, h), *a),
         argnums=(0, 1, 2, 3))(q, k, v, b)
     gr = jax.grad(lambda *a: loss(
         lambda q, k, v, b: attention_core_reference(q, k, v, h, b), *a),
@@ -70,7 +70,7 @@ def test_gradient_parity_grouped_no_bias():
         return jnp.sum(jnp.sin(fn(q, k, v).astype(jnp.float32)))
 
     gk = jax.grad(lambda *a: loss(
-        lambda q, k, v: attention_core(q, k, v, None, None, h), *a),
+        lambda q, k, v: attention_core(q, k, v, None, None, None, h), *a),
         argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(lambda *a: loss(
         lambda q, k, v: attention_core_reference(q, k, v, h), *a),
@@ -92,7 +92,7 @@ def test_forward_parity_kmask():
     B, N, C, h = 4, 19, 48, 3
     q, k, v = _qkv(B, N, C)
     km = _padmask(B, N, [19, 11, 5, 16])
-    got = attention_core(q, k, v, None, km, h)
+    got = attention_core(q, k, v, None, km, None, h)
     want = attention_core_reference(q, k, v, h, kmask=km)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
@@ -107,7 +107,7 @@ def test_gradient_parity_kmask():
         return jnp.sum(jnp.sin(fn(q, k, v).astype(jnp.float32)))
 
     gk = jax.grad(lambda *a: loss(
-        lambda q, k, v: attention_core(q, k, v, None, km, h), *a),
+        lambda q, k, v: attention_core(q, k, v, None, km, None, h), *a),
         argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(lambda *a: loss(
         lambda q, k, v: attention_core_reference(q, k, v, h, kmask=km), *a),
@@ -119,9 +119,52 @@ def test_gradient_parity_kmask():
 
 def test_bf16_forward_runs():
     q, k, v = _qkv(4, 19, 48, dtype=jnp.bfloat16)
-    y = attention_core(q, k, v, None, None, 3)
+    y = attention_core(q, k, v, None, None, None, 3)
     assert y.dtype == jnp.bfloat16 and y.shape == (4, 19, 48)
     assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+def _pmult(N, rate=0.3, seed=5):
+    """Flax broadcast attention-prob dropout multiplier: ONE (N, N)
+    keep/keep_prob mask shared over batch+heads."""
+    keep = jax.random.bernoulli(jax.random.key(seed), 1.0 - rate,
+                                (1, 1, N, N))
+    return (keep.astype(jnp.float32) / (1.0 - rate))[0, 0]
+
+
+def test_forward_parity_pmult():
+    B, N, C, h = 4, 19, 48, 3
+    q, k, v = _qkv(B, N, C)
+    km = _padmask(B, N, [19, 11, 5, 16])
+    pm = _pmult(N)
+    got = attention_core(q, k, v, None, km, pm, h)
+    want = attention_core_reference(q, k, v, h, kmask=km, pmult=pm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gradient_parity_pmult():
+    """Dropout-in-kernel backward: the multiplier must hit dv/of via p*m and
+    dp BEFORE the softmax vjp — compared against AD through the einsum
+    oracle, with a bias so dbias is exercised under dropout too."""
+    B, N, C, h = 4, 19, 48, 3
+    q, k, v = _qkv(B, N, C)
+    b = jnp.asarray(np.random.default_rng(2).normal(size=(h, N, N)) * 0.1,
+                    jnp.float32)
+    pm = _pmult(N)
+
+    def loss(fn, q, k, v, b):
+        return jnp.sum(jnp.sin(fn(q, k, v, b).astype(jnp.float32)))
+
+    gk = jax.grad(lambda *a: loss(
+        lambda q, k, v, b: attention_core(q, k, v, b, None, pm, h), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, b)
+    gr = jax.grad(lambda *a: loss(
+        lambda q, k, v, b: attention_core_reference(q, k, v, h, b, pmult=pm),
+        *a), argnums=(0, 1, 2, 3))(q, k, v, b)
+    for n, a, bb in zip(["dq", "dk", "dv", "dbias"], gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
 
 
 # ---------------------------------------------------------------------------

@@ -132,3 +132,26 @@ def test_bf16_forward_runs(small):
     out = nb.apply({"params": import_hf_bert_params(hf.params)}, ids, mask)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_training_dropout_kernel_matches_xla(small, monkeypatch):
+    """TRAIN-mode (attention dropout ACTIVE) forward: the Pallas path feeds
+    HF's broadcast (1, 1, T, T) bernoulli draw into the kernel as a
+    multiplicative operand, consuming the SAME "dropout" stream the XLA
+    branch hands to dot_product_attention_weights — identical rngs must give
+    identical outputs, so the kernel no longer drops out of the default
+    train step (docs/DESIGN.md §5f-c finding 2)."""
+    cfg, hf, native = small
+    ids, mask = _batch()
+    params = {"params": import_hf_bert_params(hf.params)}
+    outs = {}
+    for env in ["", "pallas"]:
+        monkeypatch.setenv("SKINJAX_GLOBATTN", env)
+        outs[env] = np.asarray(native.apply(
+            params, ids, mask, deterministic=False,
+            rngs={"dropout": jax.random.key(7)}))
+    assert not np.allclose(
+        outs["pallas"],
+        np.asarray(native.apply(params, ids, mask)))  # dropout really fired
+    np.testing.assert_allclose(outs["pallas"], outs[""],
+                               atol=2e-5, rtol=2e-5)

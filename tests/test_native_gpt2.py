@@ -167,3 +167,25 @@ def test_graft_pretrained_places_weights(small):
     # non-encoder leaves untouched
     np.testing.assert_array_equal(np.asarray(grafted["proj"]["kernel"]),
                                   np.asarray(init["proj"]["kernel"]))
+
+
+def test_training_dropout_kernel_matches_xla(small, monkeypatch):
+    """TRAIN-mode (attn_pdrop ACTIVE) forward: kernel path feeds HF's
+    broadcast (1, 1, T, T) bernoulli draw in as a multiplicative operand,
+    same "dropout" stream as the XLA branch — identical rngs, identical
+    outputs (models/text/gpt2.py _GPT2Attention; the BERT twin is
+    tests/test_native_bert.py)."""
+    cfg, hf, native = small
+    ids, mask = _batch()
+    params = {"params": import_hf_gpt2_params(hf.params)}
+    outs = {}
+    for env in ["", "pallas"]:
+        monkeypatch.setenv("SKINJAX_GLOBATTN", env)
+        outs[env] = np.asarray(native.apply(
+            params, ids, mask, deterministic=False,
+            rngs={"dropout": jax.random.key(7)}))
+    assert not np.allclose(
+        outs["pallas"],
+        np.asarray(native.apply(params, ids, mask)))  # dropout really fired
+    np.testing.assert_allclose(outs["pallas"], outs[""],
+                               atol=2e-5, rtol=2e-5)
