@@ -1,0 +1,59 @@
+"""Same-run A/B: stored-P backward vs flash-style recompute backward for the
+fused global-attention core (ops/pallas/global_attention.py), vit_large +
+beitv2_large full multimodal train steps on the v5e. Same harness as
+bench.py; A/B within one process per CLAUDE.md (tunnel latency ~2x across
+runs). The stored-P path targets the §5i finding that the recompute backward
+LOSES on bias-free ViT (-22%) to XLA's stored-probabilities AD.
+"""
+
+import gc
+import json
+import os
+
+os.environ.setdefault("SKINJAX_WINATTN", "pallas")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from skinjax.models import MultimodalModel
+
+out = {}
+
+
+def measure(tag, name, B, glob_env, bwd_env):
+    os.environ["SKINJAX_GLOBATTN"] = glob_env
+    os.environ["SKINJAX_GLOBATTN_BWD"] = bwd_env
+    model = MultimodalModel(
+        num_classes=6, num_heads=8, cnn_model_name=name,
+        text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+        dtype=jnp.bfloat16,
+    )
+    try:
+        ips, state = bench._train_throughput(model, B)
+        out[tag] = round(ips, 1)
+        del state
+    except Exception as e:
+        out[tag + "_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    gc.collect()
+    print(json.dumps({tag: out.get(tag, out.get(tag + "_error"))}),
+          flush=True)
+
+
+# interleave within the run for fairness
+measure("vitl_B32_xla", "vit_large_patch16_224", 32, "", "recompute")
+measure("vitl_B32_storep", "vit_large_patch16_224", 32, "pallas", "store")
+measure("vitl_B32_recompute", "vit_large_patch16_224", 32, "pallas",
+        "recompute")
+measure("beit_B32_xla", "beitv2_large_patch16_224", 32, "", "recompute")
+measure("beit_B32_storep", "beitv2_large_patch16_224", 32, "pallas", "store")
+measure("beit_B32_recompute", "beitv2_large_patch16_224", 32, "pallas",
+        "recompute")
+# drift control
+measure("vitl_B32_xla_2", "vit_large_patch16_224", 32, "", "recompute")
+
+print(json.dumps(out))

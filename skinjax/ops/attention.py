@@ -96,23 +96,21 @@ class MultiHeadAttention(nn.Module):
         B, Sq, _ = qh.shape
         Skv = kh.shape[1]
 
-        import os
+        from skinjax.ops.pallas.global_attention import (
+            attention_core, globattn_mode)
 
-        from skinjax.ops.pallas.global_attention import attention_core
-
-        # EXPLICIT opt-in only (no TPU auto-default): on vit_large the
-        # fused core measured -22% on the train step vs XLA's bias-free
-        # attention (docs/DESIGN.md §5i) — unlike BEiT (+14%), whose
-        # rel-pos-bias XLA path is the expensive one. Same per-family
-        # evidence-based defaulting as the window kernels (§5b-r3c).
+        # Auto-on for TPU backends (globattn_mode), same evidence-based
+        # defaulting as the window kernels (§5b-r3c): with the stored-P
+        # backward the fused core measured +10.4% on the vit_large train
+        # step same-run vs XLA's bias-free attention (docs/DESIGN.md §5i-b;
+        # the round-2 -22% recompute regression no longer reproduces).
         # is_initializing: flax init often runs pinned to CPU (fast-init
         # pattern, bench.py) where a compiled pallas_call cannot lower; the
         # core has no params, so the XLA path is init-safe
         if (Sq == Skv and mask is None
                 and (self.dropout_rate == 0.0 or deterministic)
                 and not self.is_initializing()
-                and os.environ.get("SKINJAX_GLOBATTN") == "pallas"
-                and os.environ.get("SKINJAX_EXPORT_COMPAT", "") != "1"):
+                and globattn_mode() == "pallas"):
             # fused scores->softmax->p@v core on the head-major channel
             # layout the Dense outputs already have — no head reshape, no
             # HBM (B, h, S, S) score tensor (ops/pallas/global_attention.py)

@@ -48,6 +48,26 @@ from skinjax.ops.pallas.window_attention import (
 )
 
 
+def globattn_bwd_mode() -> str:
+    """Backward-pass strategy for the fused core:
+
+    - ``"store"`` (default): the forward emits the f32 softmax
+      probabilities as an extra output and the backward consumes them —
+      4 dots per head (dv/dp/dq/dk), no score recompute, no softmax, no
+      bias/mask re-application (all masking is already baked into P), and
+      no unused ``of`` emission. Matches XLA's stored-probabilities AD
+      residual traffic while keeping the softmax-vjp chain VMEM-resident.
+    - ``"recompute"`` (``SKINJAX_GLOBATTN_BWD=recompute``): flash-style
+      split recompute shared with the window kernels — trades one extra
+      scores pass + softmax for not storing the (B, h, N, N) f32 P tensor;
+      the capacity-saving option for long sequences.
+    """
+    v = os.environ.get("SKINJAX_GLOBATTN_BWD")
+    if v is not None:
+        return v
+    return "store"
+
+
 def globattn_mode() -> str:
     """Resolve the global-attention implementation default, mirroring
     ``window_attention.winattn_mode``:
@@ -99,15 +119,18 @@ def attention_core_reference(q, k, v, num_heads, bias=None, kmask=None,
     return jnp.einsum("bhnm,bmhd->bnhd", p, vh).reshape(B, N, C)
 
 
-def _fwd_block_bytes(Np: int, CG: int, itemsize: int) -> int:
+def _fwd_block_bytes(Np: int, CG: int, itemsize: int,
+                     hg_p: int = 0) -> int:
     """Per-batch-row VMEM estimate: q/k/v/o channel-group blocks plus one
-    f32 score/prob pair and the f32 out accumulator for the live head."""
-    return Np * (4 * CG * itemsize + 4 * CG + 8 * Np)
+    f32 score/prob pair and the f32 out accumulator for the live head;
+    ``hg_p`` > 0 adds the emitted f32 probability block (hg heads)."""
+    return Np * (4 * CG * itemsize + 4 * CG + 8 * Np + 4 * hg_p * Np)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, pmult_ref, o_ref,
-                *, hg: int, has_bias: bool, has_kmask: bool,
+                *maybe_p_ref, hg: int, has_bias: bool, has_kmask: bool,
                 has_pmult: bool, n_real: int):
+    p_ref = maybe_p_ref[0] if maybe_p_ref else None
     SB, Np, CG = q_ref.shape
     hd = CG // hg
     scale = hd ** -0.5
@@ -130,6 +153,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, pmult_ref, o_ref,
             # (SB, 1, Np) — broadcasts over query rows
             s = s + kmask_ref[:].astype(jnp.float32)
         p = jax.nn.softmax(s, axis=-1)
+        if p_ref is not None:
+            # stored-P backward: emit the PRE-dropout f32 probabilities
+            # (the softmax-vjp residual; the bwd kernel re-applies pmult)
+            p_ref[0, :, hi] = p
         if has_pmult:
             # broadcast attention-prob dropout: ONE (N, N) f32 multiplier
             # shared over batch+heads (flax broadcast_dropout=True), applied
@@ -142,7 +169,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, pmult_ref, o_ref,
         ).astype(o_ref.dtype)
 
 
-def _fwd_core(q, k, v, bias, kmask, pmult, *, num_heads: int):
+def _fwd_core(q, k, v, bias, kmask, pmult, *, num_heads: int,
+              emit_p: bool = False):
     B, N, C = q.shape
     hd = C // num_heads
     hg = _heads_per_group(num_heads, hd)
@@ -155,7 +183,8 @@ def _fwd_core(q, k, v, bias, kmask, pmult, *, num_heads: int):
     # rows are sliced off the output)
     Np = -(-N // 16) * 16
     CG = hg * hd
-    per_row = _fwd_block_bytes(Np, CG, q.dtype.itemsize)
+    per_row = _fwd_block_bytes(Np, CG, q.dtype.itemsize,
+                               hg_p=hg if emit_p else 0)
     SB = _pick_winb(B, 1, per_row)
     if has_pmult:
         # pmult is a fixed (Np, Np) f32 block shared by every grid cell —
@@ -191,15 +220,146 @@ def _fwd_core(q, k, v, bias, kmask, pmult, *, num_heads: int):
                               memory_space=pltpu.VMEM))
     pmult_blk = pl.BlockSpec(pmult_in.shape, lambda g, b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+    out_specs = blk
+    out_shape = jax.ShapeDtypeStruct((B, Np, C), q.dtype)
+    if emit_p:
+        # stored-P residual: (n_groups, B, hg, Np, Np) f32, written one
+        # (1, SB, hg, Np, Np) block per grid cell (last two dims span the
+        # full padded score plane — Mosaic-legal for any SB)
+        p_blk = pl.BlockSpec((1, SB, hg, Np, Np),
+                             lambda g, b: (g, b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out_specs = [blk, p_blk]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_groups, B, hg, Np, Np),
+                                          jnp.float32)]
     o = pl.pallas_call(
         kernel,
         grid=(n_groups, B // SB),
         in_specs=[blk, blk, blk, bias_blk, kmask_blk, pmult_blk],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((B, Np, C), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
     )(q, k, v, bias_in, kmask_in, pmult_in)
+    if emit_p:
+        o, p = o
+        return o[:, :N, :], p
     return o[:, :N, :]
+
+
+def _bwd_p_bytes(Np: int, CG: int, hg: int, itemsize: int) -> int:
+    """Per-batch-row VMEM estimate for the stored-P backward: 7
+    channel-group blocks (q/k/v/do/dq/dk/dv), the f32 stored-P block for
+    hg heads, and f32 dp/ds transients + bf16 casts for the live head."""
+    return Np * (7 * CG * itemsize + 8 * CG + 4 * hg * Np + 16 * Np)
+
+
+def _bwd_p_kernel(q_ref, k_ref, v_ref, do_ref, p_ref, pmult_ref,
+                  dq_ref, dk_ref, dv_ref, dbias_ref, *, hg: int,
+                  has_bias: bool, has_pmult: bool, scale: float):
+    """Stored-probabilities backward for one (head-group, batch-block) grid
+    cell: 4 dots per head (dv = P^T·do, dp = do·v^T, dq = ds·k,
+    dk = ds^T·q), softmax-vjp from the f32 P the forward emitted. No score
+    recompute, no softmax, no keypad/bias/kmask re-application — every
+    masking term is already baked into P (masked columns have P = 0, so
+    ds = 0 there; padded query rows have do = 0, so dp = ds = 0)."""
+    i = pl.program_id(1)  # batch-block (inner) — dbias accumulates over it
+    SB, Np, CG = q_ref.shape
+    hd = CG // hg
+
+    if has_bias:
+        @pl.when(i == 0)
+        def _init():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    for hi in range(hg):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        q = q_ref[..., sl]
+        k = k_ref[..., sl]
+        v = v_ref[..., sl]
+        do_h = do_ref[..., sl]
+        pf = p_ref[0, :, hi]  # (SB, Np, Np) f32, pre-dropout softmax
+        if has_pmult:
+            # out = (P·mlt) @ v: dv/of use P·mlt, dp picks up the mlt
+            # factor BEFORE the softmax vjp
+            mlt = pmult_ref[0].astype(jnp.float32)[None]
+            pb = (pf * mlt).astype(q_ref.dtype)
+        else:
+            pb = pf.astype(q_ref.dtype)
+        # dv = p^T @ do_h
+        dv_ref[..., sl] = jax.lax.dot_general(
+            pb, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        # dp = do_h @ v^T
+        dp = jax.lax.dot_general(
+            do_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if has_pmult:
+            dp = dp * mlt
+        ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # f32
+        if has_bias:
+            dbias_ref[hi] += jnp.sum(ds, axis=0)
+        dsb = ds.astype(q_ref.dtype)
+        dq_ref[..., sl] = (jax.lax.dot_general(
+            dsb, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[..., sl] = (jax.lax.dot_general(
+            dsb, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype)
+
+
+def _bwd_p_core(q, k, v, do, p, pmult, *, num_heads: int, has_bias: bool):
+    """Stored-P backward launcher. q/k/v/do: (B, N, C) head-major channel
+    layout; p: (n_groups, B, hg, Np, Np) f32 from the forward's ``emit_p``.
+    Returns (dq, dk, dv, dbias) with dbias f32 (h, N, N) or None."""
+    B, N, C = q.shape
+    hd = C // num_heads
+    hg = _heads_per_group(num_heads, hd)
+    n_groups = num_heads // hg
+    Np = p.shape[-1]
+    CG = hg * hd
+    has_pmult = pmult is not None
+    per_row = _bwd_p_bytes(Np, CG, hg, q.dtype.itemsize)
+    SB = _pick_winb(B, 1, per_row)
+    if has_pmult:
+        while SB > 1 and SB * per_row + 4 * Np * Np > _VMEM_BUDGET:
+            SB //= 2
+    q, k, v, do = (_pad_n(t, Np, (1,)) for t in (q, k, v, do))
+    pmult_in = (_pad_n(pmult.astype(jnp.float32)[None], Np, (1, 2))
+                if has_pmult else jnp.zeros((1, 16, 16), jnp.float32))
+    dbias_shape = ((n_groups * hg, Np, Np) if has_bias
+                   else (n_groups * hg, 16, 16))
+
+    kernel = functools.partial(_bwd_p_kernel, hg=hg, has_bias=has_bias,
+                               has_pmult=has_pmult, scale=hd ** -0.5)
+    blk = pl.BlockSpec((SB, Np, CG), lambda g, b: (b, 0, g),
+                       memory_space=pltpu.VMEM)
+    p_blk = pl.BlockSpec((1, SB, hg, Np, Np), lambda g, b: (g, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pmult_blk = pl.BlockSpec(pmult_in.shape, lambda g, b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dbias_blk = pl.BlockSpec((hg,) + dbias_shape[1:],
+                             lambda g, b: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        grid=(n_groups, B // SB),
+        in_specs=[blk, blk, blk, blk, p_blk, pmult_blk],
+        out_specs=[blk, blk, blk, dbias_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, C), q.dtype),
+            jax.ShapeDtypeStruct((B, Np, C), q.dtype),
+            jax.ShapeDtypeStruct((B, Np, C), q.dtype),
+            jax.ShapeDtypeStruct(dbias_shape, jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, do, p, pmult_in)
+    return (dq[:, :N, :], dk[:, :N, :], dv[:, :N, :],
+            dbias[:, :N, :N] if has_bias else None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -217,22 +377,32 @@ def attention_core(q, k, v, bias, kmask, pmult, num_heads):
 
 
 def _ac_fwd(q, k, v, bias, kmask, pmult, num_heads):
-    y = _fwd_core(q, k, v, bias, kmask, pmult, num_heads=num_heads)
-    return y, (q, k, v, bias, kmask, pmult)
+    if globattn_bwd_mode() == "store":
+        y, p = _fwd_core(q, k, v, bias, kmask, pmult, num_heads=num_heads,
+                         emit_p=True)
+    else:
+        y = _fwd_core(q, k, v, bias, kmask, pmult, num_heads=num_heads)
+        p = None
+    return y, (q, k, v, bias, kmask, pmult, p)
 
 
 def _ac_bwd(num_heads, res, dy):
-    q, k, v, bias, kmask, pmult = res
+    q, k, v, bias, kmask, pmult, p = res
     has_bias = bias is not None
-    # the split core recomputes softmax per block and emits dq/dk/dv (+
-    # dbias accumulated in-kernel); its `of` output feeds projection grads
-    # in the windowed caller and is unused here (XLA AD already holds the
-    # core output as the out-projection residual)
-    dq, dk, dv, _of, dbias = _bwd_core(
-        q, k, v, dy, bias if has_bias else None, None,
-        num_heads=num_heads, has_bias=has_bias, has_mask=False, n_win=1,
-        kmask=kmask, pmult=pmult,
-    )
+    if p is not None:
+        # stored-P path: 4 dots per head, no recompute (see _bwd_p_kernel)
+        dq, dk, dv, dbias = _bwd_p_core(
+            q, k, v, dy, p, pmult, num_heads=num_heads, has_bias=has_bias)
+    else:
+        # the split core recomputes softmax per block and emits dq/dk/dv (+
+        # dbias accumulated in-kernel); its `of` output feeds projection
+        # grads in the windowed caller and is unused here (XLA AD already
+        # holds the core output as the out-projection residual)
+        dq, dk, dv, _of, dbias = _bwd_core(
+            q, k, v, dy, bias if has_bias else None, None,
+            num_heads=num_heads, has_bias=has_bias, has_mask=False, n_win=1,
+            kmask=kmask, pmult=pmult,
+        )
     return (dq, dk, dv,
             dbias.astype(bias.dtype) if has_bias else None,
             jnp.zeros_like(kmask) if kmask is not None else None,

@@ -167,6 +167,36 @@ def test_gradient_parity_pmult():
                                    atol=5e-4, rtol=5e-4, err_msg=n)
 
 
+def test_bwd_modes_agree(monkeypatch):
+    """The stored-P backward (_bwd_p_core) and the flash-style recompute
+    backward (_bwd_core) are interchangeable: identical grads vs the einsum
+    oracle for the full-featured case (bias + kmask + pmult), whatever the
+    session default (SKINJAX_GLOBATTN_BWD) is."""
+    B, N, C, h = 4, 19, 48, 3
+    q, k, v = _qkv(B, N, C)
+    b = jnp.asarray(np.random.default_rng(3).normal(size=(h, N, N)) * 0.1,
+                    jnp.float32)
+    km = _padmask(B, N, [19, 11, 5, 16])
+    pm = _pmult(N)
+
+    def loss(fn, q, k, v, b):
+        return jnp.sum(jnp.sin(fn(q, k, v, b).astype(jnp.float32)))
+
+    gr = jax.grad(lambda *a: loss(
+        lambda q, k, v, b: attention_core_reference(
+            q, k, v, h, b, kmask=km, pmult=pm), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, b)
+    for mode in ("store", "recompute"):
+        monkeypatch.setenv("SKINJAX_GLOBATTN_BWD", mode)
+        gk = jax.grad(lambda *a: loss(
+            lambda q, k, v, b: attention_core(q, k, v, b, km, pm, h), *a),
+            argnums=(0, 1, 2, 3))(q, k, v, b)
+        for n, a, bb in zip(["dq", "dk", "dv", "dbias"], gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=5e-4, rtol=5e-4,
+                                       err_msg=f"{mode}:{n}")
+
+
 # ---------------------------------------------------------------------------
 # module integrations: kernel path == XLA path on identical params
 # ---------------------------------------------------------------------------
