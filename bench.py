@@ -29,6 +29,17 @@ DAVIT_BATCH = 64
 WARMUP = 3
 ITERS = 20
 
+# Wall-clock budget (seconds). The driver wraps bench.py in a timeout; r3
+# exceeded it (rc=124) because 6+ jitted programs cold-compile at ~60-340 s
+# each over the tunnel. The primary metric always runs; each EXTRA starts
+# only while we're inside the budget, and the JSON prints whatever finished.
+_T0 = time.time()
+_DEADLINE_S = float(os.environ.get("SKINJAX_BENCH_DEADLINE_S", 480))
+
+
+def _time_left() -> float:
+    return _DEADLINE_S - (time.time() - _T0)
+
 
 def _torch_cpu_baseline() -> float:
     if os.path.exists(BASELINE_FILE):
@@ -224,63 +235,59 @@ def main():
     ips, state = _train_throughput(flagship, BATCH)
 
     extras = {}
-    try:
-        extras["infer_p50_ms"] = round(_infer_p50(flagship, state), 1)
-    except Exception:
-        pass
-    try:
-        # reference-default train mode: backbone frozen
-        frozen_ips, _ = _train_throughput(flagship, BATCH, freeze=True)
-        extras["flagship_frozen_images_per_sec"] = round(frozen_ips, 1)
-    except Exception:
-        pass
-    try:
-        davit = MultimodalModel(
+
+    def _extra(key, fn, round_nd=1):
+        # only START an extra with budget in hand; a cold remote compile is
+        # ~60-340 s, so skipping late beats rc=124 with the JSON unprinted
+        if _time_left() < 120:
+            return
+        try:
+            extras[key] = round(fn(), round_nd)
+        except Exception:
+            pass
+
+    _extra("infer_p50_ms", lambda: _infer_p50(flagship, state))
+    # reference-default train mode: backbone frozen
+    _extra("flagship_frozen_images_per_sec",
+           lambda: _train_throughput(flagship, BATCH, freeze=True)[0])
+    _extra("davit_tiny_images_per_sec", lambda: _train_throughput(
+        MultimodalModel(
             num_classes=6, num_heads=8, cnn_model_name="davit_tiny",
             text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
             attention_mechanism="att-intramodal+residual+cross-attention-metadados",
             dtype=jnp.bfloat16,
-        )
-        davit_ips, _ = _train_throughput(davit, DAVIT_BATCH)
-        extras["davit_tiny_images_per_sec"] = round(davit_ips, 1)
-    except Exception:
-        pass
-    try:
-        # the largest published backbone (307 M params); B=32 is the plain
-        # (no-remat) capacity limit on one v5e — DESIGN §5h
-        beit = MultimodalModel(
+        ), DAVIT_BATCH)[0])
+    # the largest published backbone (307 M params); B=32 is the plain
+    # (no-remat) capacity limit on one v5e — DESIGN §5h
+    _extra("beitv2_large_images_per_sec", lambda: _train_throughput(
+        MultimodalModel(
             num_classes=6, num_heads=8,
             cnn_model_name="beitv2_large_patch16_224",
             text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
             attention_mechanism="att-intramodal+residual+cross-attention-metadados",
             dtype=jnp.bfloat16,
-        )
-        beit_ips, _ = _train_throughput(beit, 32)
-        extras["beitv2_large_images_per_sec"] = round(beit_ips, 1)
-    except Exception:
-        pass
-    try:
-        swin = MultimodalModel(
+        ), 32)[0])
+    _extra("swin_tiny_images_per_sec", lambda: _train_throughput(
+        MultimodalModel(
             num_classes=6, num_heads=8,
             cnn_model_name="swin_tiny_patch4_window7_224",
             text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
             attention_mechanism="att-intramodal+residual+cross-attention-metadados",
             dtype=jnp.bfloat16,
-        )
-        swin_ips, _ = _train_throughput(swin, DAVIT_BATCH)
-        extras["swin_tiny_images_per_sec"] = round(swin_ips, 1)
-    except Exception:
-        pass
-
-    try:
-        # BASELINE config #4 (skinLesionDatasetsWithBert.py): DaViT-tiny +
-        # BERT-base tokens tower (native bf16, models/text/bert.py), RG-ATT,
-        # T=256, B=32, text tower FROZEN (the reference default —
-        # loadImageModelClassifier.py:174-179). DESIGN §5f/§5f-c.
-        sent_ips = _sentence_throughput()
-        extras["sentence_frozen_images_per_sec"] = round(sent_ips, 1)
-    except Exception:
-        pass
+        ), DAVIT_BATCH)[0])
+    # the reference's #2 published-BACC backbone (frugality table)
+    _extra("mvitv2_small_images_per_sec", lambda: _train_throughput(
+        MultimodalModel(
+            num_classes=6, num_heads=8, cnn_model_name="mvitv2_small",
+            text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+            attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+            dtype=jnp.bfloat16,
+        ), DAVIT_BATCH)[0])
+    # BASELINE config #4 (skinLesionDatasetsWithBert.py): DaViT-tiny +
+    # BERT-base tokens tower (native bf16, models/text/bert.py), RG-ATT,
+    # T=256, B=32, text tower FROZEN (the reference default —
+    # loadImageModelClassifier.py:174-179). DESIGN §5f/§5f-c.
+    _extra("sentence_frozen_images_per_sec", lambda: _sentence_throughput())
 
     base = _torch_cpu_baseline()
     vs = ips / base if np.isfinite(base) and base > 0 else None
@@ -290,7 +297,10 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": None if vs is None else round(vs, 1),
         **extras,
-    }))
+    }), flush=True)
+    # the tunneled-TPU client can hang in interpreter teardown after the
+    # result is already out (r3: JSON printed, rc=124) — exit hard
+    os._exit(0)
 
 
 if __name__ == "__main__":

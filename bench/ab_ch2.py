@@ -1,27 +1,38 @@
-"""Same-run A/B on the v5e: flagship (ResNet-50 RG-ATT) full train step,
-per-block rematerialization vs default. VERDICT r2 weak #3: if the step is
-activation-bandwidth-bound (docs/DESIGN.md §5: ~6 GB stored activations,
-exact-semantics ceiling ~2645 img/s), jax.checkpoint over the residual
-blocks trades those HBM reads for idle-MXU recompute FLOPs."""
-import os, time, sys
+"""Same-run A/B: strip control vs channel-fusion restricted to stages 2-3
+(N<=256) — isolates whether the stage-1 (N=784) grid overhead caused the
+strip_ch loss."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os, time
+
+os.environ["SKINJAX_WINATTN"] = ""
 
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from skinjax.ops.pallas import channel_attention as ch_mod
 from skinjax.models import MultimodalModel
-from skinjax.models.backbones import resnet
+from skinjax.models.backbones import davit, register
 from skinjax.train import make_loss_fn, make_optimizer, make_train_step
 from skinjax.train import steps as steps_mod
 from skinjax.train.steps import create_train_state
 
-B = 128
+B = 64
+
+for _vname, _kw in [
+    ("davit_strip", dict(strip_attn=True)),
+    ("davit_strip_ch", dict(strip_attn=True, ch_fused_attn=True)),
+]:
+    register(_vname,
+             (lambda kw: lambda name=None, dtype=None, common_dim=512:
+              davit.DaViT(dtype=dtype, **kw))(_kw), 768)
 
 
-def build():
+def build(vname):
     return MultimodalModel(
-        num_classes=6, num_heads=8, cnn_model_name="resnet-50",
+        num_classes=6, num_heads=8, cnn_model_name=vname,
         text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
         attention_mechanism="att-intramodal+residual+cross-attention-metadados",
         dtype=jnp.bfloat16)
@@ -33,11 +44,8 @@ def time_step(model):
              "metadata": rng.normal(size=(B, 91)).astype(np.float32),
              "label": rng.integers(0, 6, B).astype(np.int32)}
     tx = make_optimizer(5e-5, 1e-4)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        state = create_train_state(
-            model, jax.random.key(0), {k: v[:2] for k, v in batch.items()}, tx)
-    state = jax.device_put(state, jax.devices()[0])
+    state = create_train_state(
+        model, jax.random.key(0), {k: v[:2] for k, v in batch.items()}, tx)
     loss_fn = make_loss_fn("weighted_ce", np.ones(6, np.float32))
     im = jnp.asarray(batch["image"])
     md = jnp.asarray(batch["metadata"])
@@ -58,10 +66,9 @@ def time_step(model):
     return dt * 1000, B / dt, warm
 
 
-for mode in (sys.argv[1:] or ["", "block", ""]):
-    resnet._REMAT = mode
+for vname, maxn in [("davit_strip", 100000), ("davit_strip_ch", 256)]:
+    ch_mod._MAX_N = maxn
     steps_mod._TRAIN_STEP_CACHE.clear()
-    ms, ips, warm = time_step(build())
-    label = mode or "default"
-    print(f"{label:8s} {ms:7.2f} ms/step  {ips:7.1f} img/s  (warm+compile {warm:.0f}s)",
-          flush=True)
+    ms, ips, warm = time_step(build(vname))
+    print(f"{vname:16s} maxN={maxn:6d} {ms:7.2f} ms/step  {ips:7.1f} img/s  "
+          f"(warm+compile {warm:.0f}s)", flush=True)

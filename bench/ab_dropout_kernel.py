@@ -5,6 +5,8 @@ the DEFAULT train step. Dropout now rides IN-KERNEL (the single broadcast
 (T, T) bernoulli multiplier HF draws), so the kernel engages with stock HF
 config. Measures the DEFAULT unfrozen step (dropout 0.1, native bf16
 tower): XLA attention vs fused kernel, same run, B=32 T=256."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import os

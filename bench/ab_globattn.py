@@ -2,6 +2,8 @@
 XLA einsum attention, beitv2_large + vit_large full multimodal train steps
 on the v5e. Same harness as bench.py; A/B within one process per CLAUDE.md
 (tunnel latency varies ~2x across runs)."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import gc
 import json

@@ -1,6 +1,8 @@
 """Same-run A/B: vit_large EVAL path (forward only, B=32) XLA vs fused
 global-attention kernel — splits the measured train-step regression into
 fwd vs bwd contributions."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import os

@@ -5,6 +5,8 @@ bench.py; A/B within one process per CLAUDE.md (tunnel latency ~2x across
 runs). The stored-P path targets the §5i finding that the recompute backward
 LOSES on bias-free ViT (-22%) to XLA's stored-probabilities AD.
 """
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import gc
 import json

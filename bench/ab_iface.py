@@ -1,15 +1,14 @@
-"""Bucket probe: what do DaViT's 24 depthwise ConvPosEnc convs cost?
-
-Control A/B (NOT semantics-preserving — a measurement, like the BN
-running-stats probe in docs/DESIGN.md §5): monkeypatch ConvPosEnc to
-identity and re-time the full davit_tiny train step. The delta bounds what
-any CPE optimization (shift-based depthwise, fusion into the window kernel)
-could recover. Also times the shift-and-add depthwise formulation
-(SKINJAX_CPE=shift) if present.
+"""Same-run A/B: strip kernel 6-D window-view interface vs 4-D NHWC
+interface (SKINJAX_WA_IFACE=4d). The 6-D view pays XLA-side repack copies
+at every kernel boundary (~2.4 ms/step measured, docs/DESIGN.md §5b-r3);
+the 4-D interface moves the misalignment into in-VMEM shift lowerings.
+Also A/Bs swin_tiny (bias+mask path) when AB_SWIN=1.
 """
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, time
 
-os.environ.setdefault("SKINJAX_WINATTN", "pallas")
+os.environ["SKINJAX_WINATTN"] = "pallas"
 
 import numpy as np
 import jax, jax.numpy as jnp
@@ -21,12 +20,12 @@ from skinjax.train import make_loss_fn, make_optimizer, make_train_step
 from skinjax.train import steps as steps_mod
 from skinjax.train.steps import create_train_state
 
-B = int(os.environ.get("AB_B", "64"))
+B = 64
 
 
-def build():
+def build(backbone):
     return MultimodalModel(
-        num_classes=6, num_heads=8, cnn_model_name="davit_tiny",
+        num_classes=6, num_heads=8, cnn_model_name=backbone,
         text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
         attention_mechanism="att-intramodal+residual+cross-attention-metadados",
         dtype=jnp.bfloat16)
@@ -38,15 +37,8 @@ def time_step(model):
              "metadata": rng.normal(size=(B, 91)).astype(np.float32),
              "label": rng.integers(0, 6, B).astype(np.int32)}
     tx = make_optimizer(5e-5, 1e-4)
-    try:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            state = create_train_state(
-                model, jax.random.key(0),
-                {k: v[:2] for k, v in batch.items()}, tx)
-        state = jax.device_put(state, jax.devices()[0])
-    except Exception:
-        state = create_train_state(model, jax.random.key(0), batch, tx)
+    state = create_train_state(
+        model, jax.random.key(0), {k: v[:2] for k, v in batch.items()}, tx)
     loss_fn = make_loss_fn("weighted_ce", np.ones(6, np.float32))
     im = jnp.asarray(batch["image"])
     md = jnp.asarray(batch["metadata"])
@@ -67,19 +59,17 @@ def time_step(model):
     return dt * 1000, B / dt, warm
 
 
-def run_mode(name, env):
-    prev = os.environ.pop("SKINJAX_CPE", None)
-    if env:
-        os.environ["SKINJAX_CPE"] = env
-    steps_mod._TRAIN_STEP_CACHE.clear()
-    ms, ips, warm = time_step(build())
-    print(f"{name} B={B} {ms:8.2f} ms/step  {ips:7.1f} img/s  "
-          f"(warm+compile {warm:.0f}s)", flush=True)
-    if prev is not None:
-        os.environ["SKINJAX_CPE"] = prev
+backbones = ["davit_tiny"]
+if os.environ.get("AB_SWIN") == "1":
+    backbones.append("swin_tiny_patch4_window7_224")
 
-
-run_mode("default (conv CPE)", None)
-run_mode("CPE shift-add     ", "shift")
-run_mode("CPE -> identity   ", "identity")
-run_mode("default bracket 2 ", None)
+for bk in backbones:
+    for name, iface in [("6d", None), ("4d", "4d"), ("6d bracket2", None)]:
+        if iface:
+            os.environ["SKINJAX_WA_IFACE"] = iface
+        else:
+            os.environ.pop("SKINJAX_WA_IFACE", None)
+        steps_mod._TRAIN_STEP_CACHE.clear()
+        ms, ips, warm = time_step(build(bk))
+        print(f"{bk} iface={name:12s} B={B} {ms:8.2f} ms/step  {ips:7.1f} "
+              f"img/s  (warm+compile {warm:.0f}s)", flush=True)

@@ -5,6 +5,8 @@ baseline, docs/DESIGN.md §5f) vs NativeBertEncoder — (a) f32 parity mode,
 keeps the kernel out of the training step unless attention_dropout=0, so
 (c) also sets attention_dropout=0 to expose the kernel's training effect —
 noted in the output)."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import os

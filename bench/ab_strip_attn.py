@@ -5,6 +5,8 @@ One process (tunnel latency varies ~2x between runs — CLAUDE.md), three
 models built with explicit SpatialBlock flags via dataclass-default
 patching (the env flag is read at import time, so per-model construction
 needs the patch)."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, time
 os.environ["SKINJAX_WINATTN"] = ""  # explicit flags below
 

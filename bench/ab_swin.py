@@ -1,6 +1,8 @@
 """Same-run A/B on the v5e: swin_tiny full train step — XLA windows vs the
 padded-window Pallas kernel (round-2 loser) vs the strip-blocked NHWC
 kernel with rel-pos bias + shifted masks folded in (VERDICT r2 #8)."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, time, sys
 
 os.environ["SKINJAX_WINATTN"] = ""

@@ -1,3 +1,5 @@
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import collections, sys
 from tensorflow.tsl.profiler.protobuf import xplane_pb2
 xs = xplane_pb2.XSpace()

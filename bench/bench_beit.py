@@ -7,6 +7,8 @@ on-device augment, bf16 forward, fp32 weighted-CE, backward, masked Adam.
 Usage: python _bench_beit.py [remat]  — 'remat' sets SKINJAX_REMAT=block
 before any skinjax import (the flag is read at import time).
 """
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import gc
 import json

@@ -10,6 +10,8 @@ flagship (bench.py) already have measured numbers; this measures:
   config 1: ResNet-18 + one-hot, concatenation                    (B=128)
 Full train step each: on-device augment + bf16 fwd + fp32 loss + bwd + Adam.
 """
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, time
 
 os.environ.setdefault("SKINJAX_WINATTN", "pallas")

@@ -9,6 +9,8 @@ ceiling (2232 img/s flagship).
 Synthetic PAD-20-shaped dataset: n=2048, 224x224 uint8, 91 one-hot
 features, 6 classes (the fake-dataset fixture, data/pipeline.py).
 """
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import os
 import shutil

@@ -1,38 +1,46 @@
-"""On-chip bench of the sentence path (BASELINE.json configs[3]: DaViT-Tiny
-+ bert-base-uncased metadata encoder, RG-ATT). VERDICT r2 weak #5: no
-tokens-input train step had ever been timed on the v5e.
-
-Times the full train step (augment + DaViT-tiny + BERT-base tokens tower +
-RG-ATT + backward + Adam) and, same-run, the one-hot control (identical
-image path) to attribute the tokens-tower share. BERT weights are
-random-init (zero egress) — identical compute/layout to pretrained."""
-import os, time, sys
+"""On-chip bench of the GPT-2 sentence path — the OTHER reference sentence
+tower (skinLesionDatasetsWithGpt2; tokenize.py pads with eos to max_len
+512). Full train step: augment + DaViT-tiny + native GPT-2-base tokens
+tower + RG-ATT + backward + Adam; frozen and unfrozen, plus the one-hot
+control, same run (the BERT twin is _bench_sentence.py / DESIGN §5f)."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import dataclasses
+import os
+import time
 
 os.environ.setdefault("SKINJAX_WINATTN", "pallas")
 
 import numpy as np
-import jax, jax.numpy as jnp
+import jax
+import jax.numpy as jnp
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from transformers import BertConfig, FlaxBertModel
-
 from skinjax.models import MultimodalModel
-from skinjax.models.text.sentence import HFSentenceTower
-from skinjax.train import make_loss_fn, make_optimizer, make_train_step
+from skinjax.models.text.bert import NativeSentenceTower
+from skinjax.models.text.gpt2 import NativeGPT2Encoder
+from skinjax.train import (
+    make_loss_fn,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)
 from skinjax.train import steps as steps_mod
 from skinjax.train.steps import create_train_state
 
-B = int(os.environ.get("SENT_B", "32"))
-T = int(os.environ.get("SENT_T", "256"))  # tokenizer max_len for BERT path
+B = int(os.environ.get("SENT_B", "16"))
+T = int(os.environ.get("SENT_T", "512"))  # reference GPT-2 max_len
 
 
 def build_sentence():
-    cfg = BertConfig()  # bert-base-uncased: 12L, 768h, 12 heads, vocab 30522
-    tower = HFSentenceTower(hf_module=FlaxBertModel(cfg), dtype=jnp.bfloat16)
+    tower = NativeSentenceTower(
+        encoder=NativeGPT2Encoder(dtype=jnp.bfloat16), pool="last",
+        scope_name="gpt2", dtype=jnp.bfloat16)
     return MultimodalModel(
         num_classes=6, num_heads=8, cnn_model_name="davit_tiny",
-        text_model_name="bert-base-uncased", text_module=tower,
+        text_model_name="gpt2", text_module=tower,
         text_input_mode="tokens", text_encoder_dim_output=768,
         common_dim=512,
         attention_mechanism="att-intramodal+residual+cross-attention-metadados",
@@ -53,29 +61,29 @@ def time_step(model, metadata, freeze_text=False):
              "metadata": metadata,
              "label": rng.integers(0, 6, B).astype(np.int32)}
     tx = make_optimizer(5e-5, 1e-4)
-    state = create_train_state(
-        model, jax.random.key(0),
-        {k: (jax.tree_util.tree_map(lambda a: a[:2], v)
-             if isinstance(v, dict) else v[:2]) for k, v in batch.items()},
-        tx)
-    loss_fn = make_loss_fn("weighted_ce", np.ones(6, np.float32))
-    im = jnp.asarray(batch["image"])
-    md = jax.tree_util.tree_map(jnp.asarray, batch["metadata"])
-    lb = jnp.asarray(batch["label"])
-    key = jax.random.key(1)
+    small = {k: (jax.tree_util.tree_map(lambda a: a[:2], v)
+                 if isinstance(v, dict) else v[:2]) for k, v in batch.items()}
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            state = create_train_state(model, jax.random.key(0), small, tx)
+        state = jax.device_put(state, jax.devices()[0])
+    except Exception:
+        state = create_train_state(model, jax.random.key(0), small, tx)
     mask = None
     if freeze_text:
-        # the reference default for BERT/GPT-2 towers
-        # (loadTextModelEncoder: train_mode="frozen_weights")
-        from skinjax.train import trainable_mask
-        import dataclasses
         mask = trainable_mask(state.params, "frozen_weights",
                               frozen_prefixes=("text_tower", "text_module"))
         tx = make_optimizer(5e-5, 1e-4, mask=mask)
         state = dataclasses.replace(state, opt_state=tx.init(state.params))
+    loss_fn = make_loss_fn("weighted_ce", np.ones(6, np.float32))
     step = make_train_step(model, tx, loss_fn, augment=True,
                            image_dtype=jnp.bfloat16, recipe="sentence",
                            trainable_mask=mask)
+    im = jnp.asarray(batch["image"])
+    md = jax.tree_util.tree_map(jnp.asarray, batch["metadata"])
+    lb = jnp.asarray(batch["label"])
+    key = jax.random.key(1)
     t0 = time.perf_counter()
     for _ in range(3):
         state, loss = step(state, im, md, lb, key)
@@ -91,15 +99,15 @@ def time_step(model, metadata, freeze_text=False):
 
 rng = np.random.default_rng(1)
 tokens_md = {
-    "input_ids": rng.integers(1, 30000, (B, T)).astype(np.int32),
+    "input_ids": rng.integers(1, 50000, (B, T)).astype(np.int32),
     "attention_mask": np.ones((B, T), np.int32),
 }
 onehot_md = rng.normal(size=(B, 91)).astype(np.float32)
 
 for name, model, md, frozen in [
-    (f"bert-tokens T={T}", build_sentence(), tokens_md, False),
-    (f"bert FROZEN T={T}", build_sentence(), tokens_md, True),
-    ("one-hot control ", build_onehot(), onehot_md, False),
+    (f"gpt2-tokens T={T}", build_sentence(), tokens_md, False),
+    (f"gpt2 FROZEN T={T}", build_sentence(), tokens_md, True),
+    ("one-hot control  ", build_onehot(), onehot_md, False),
 ]:
     steps_mod._TRAIN_STEP_CACHE.clear()
     ms, ips, warm = time_step(model, md, freeze_text=frozen)

@@ -5,6 +5,8 @@ search cost from the measured per-phase rates.
 
 Reference shape: nas/optimization_train_process_pad_20.py:462-474 — 500
 sequential candidate trainings, no caching, fresh model per step."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import time
 

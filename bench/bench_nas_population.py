@@ -6,6 +6,8 @@ Scenario: a mid-search REINFORCE distribution — shape-bucket keys
 exploring — so the population lands in one envelope bucket. K=8 candidates,
 2 epochs each on a synthetic 256-sample dataset.
 """
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import time

@@ -1,5 +1,7 @@
 """Serving latency under concurrency (VERDICT r1 #9 'done' evidence):
 flagship engine + dynamic batcher, 1/8/32 concurrent clients on the v5e."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import threading
 import time

@@ -11,6 +11,8 @@ loadModelImageEncoder names).
 
 Usage: python _bench_zoo.py [family ...]   (default: the unmeasured set)
 """
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time

@@ -1,5 +1,7 @@
 """Probe: which registered backbones export through the native ONNX
 emitter + evaluate with parity. Prints one line per family."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 os.environ["SKINJAX_WINATTN"] = ""
 import numpy as np, jax, jax.numpy as jnp

@@ -3,6 +3,8 @@
 Usage: python _trace_beit.py [--trace] [B]  (default B=64, needs
 SKINJAX_REMAT=block for B>32 — set by default here).
 """
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time

@@ -1,3 +1,5 @@
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import numpy as np
 import jax, jax.numpy as jnp
@@ -9,7 +11,7 @@ from skinjax.train import make_loss_fn, make_optimizer, make_train_step
 from skinjax.train.steps import create_train_state
 
 B = 64
-model = MultimodalModel(num_classes=6, num_heads=8, cnn_model_name="swin_tiny_patch4_window7_224",
+model = MultimodalModel(num_classes=6, num_heads=8, cnn_model_name="davit_tiny",
     text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
     attention_mechanism="att-intramodal+residual+cross-attention-metadados",
     dtype=jnp.bfloat16)
@@ -20,8 +22,6 @@ batch = {"image": rng.integers(0, 256, (B, 224, 224, 3), dtype=np.uint8),
 tx = make_optimizer(5e-5, 1e-4)
 import os
 if os.environ.get("SKINJAX_WINATTN") == "pallas":
-    # init must run where the kernel runs (interpret-mode CPU init of the
-    # full model would take minutes)
     state = create_train_state(model, jax.random.key(0), {k: v[:2] for k, v in batch.items()}, tx)
 else:
     cpu = jax.devices("cpu")[0]
@@ -40,7 +40,7 @@ for _ in range(15):
     state, loss = step(state, im, md, lb, key)
 jax.block_until_ready(loss)
 dt = (time.perf_counter() - t0) / 15 * 1000
-print(f"swin_tiny_patch4_window7_224 full step: {dt:.2f} ms ({B/dt*1000:.0f} img/s)")
+print(f"davit_tiny full step: {dt:.2f} ms ({B/dt*1000:.0f} img/s)")
 if "--trace" in sys.argv:
     with jax.profiler.trace("/tmp/skinjax-trace-davit"):
         for _ in range(5):

@@ -1,6 +1,8 @@
 """Verify driver: XAI HTTP app serving Grad-CAM++ overlays on a ViT
 backbone — end-to-end check of the round-3 token-backbone capture path
 through the real serving surface. CPU-only; exits 0 on success."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

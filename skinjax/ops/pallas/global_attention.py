@@ -61,11 +61,38 @@ def globattn_bwd_mode() -> str:
       split recompute shared with the window kernels — trades one extra
       scores pass + softmax for not storing the (B, h, N, N) f32 P tensor;
       the capacity-saving option for long sequences.
+
+    An explicit env value is validated (a typo silently selecting the wrong
+    backward is worse than an error) and FORCES that mode; the unset default
+    is "store" *gated by residual size* — see ``_store_p_ok``.
     """
     v = os.environ.get("SKINJAX_GLOBATTN_BWD")
     if v is not None:
+        if v not in ("store", "recompute"):
+            raise ValueError(
+                f"SKINJAX_GLOBATTN_BWD={v!r}: must be 'store' or 'recompute'")
         return v
     return "store"
+
+
+# Per-call ceiling for the stored-P residual (f32 B·h·Np² bytes/layer).
+# Measured territory (DESIGN §5i-b): ViT/BEiT N=197 B≤64 ≤176 MB — store
+# wins +10–15%. The quadratic-in-N text paths blow past this fast (GPT-2
+# T=1024 B=32 → 1.6 GB/layer ⇒ ~19 GB residual across 12 layers on a 16 GB
+# chip): above the ceiling the default falls back to the flash-style
+# recompute backward, which needs no residual. Explicit
+# SKINJAX_GLOBATTN_BWD=store overrides the gate.
+_STORE_P_DEFAULT_MAX_MB = 256.0
+
+
+def _store_p_ok(B: int, num_heads: int, Np: int) -> bool:
+    """Residual-size gate for the unset-env stored-P default."""
+    try:
+        cap = float(os.environ.get("SKINJAX_GLOBATTN_STORE_MAX_MB",
+                                   _STORE_P_DEFAULT_MAX_MB))
+    except ValueError:
+        cap = _STORE_P_DEFAULT_MAX_MB
+    return B * num_heads * Np * Np * 4 <= cap * 1024 * 1024
 
 
 def globattn_mode() -> str:
@@ -324,10 +351,14 @@ def _bwd_p_core(q, k, v, do, p, pmult, *, num_heads: int, has_bias: bool):
     CG = hg * hd
     has_pmult = pmult is not None
     per_row = _bwd_p_bytes(Np, CG, hg, q.dtype.itemsize)
+    # fixed-per-cell blocks (resident regardless of SB): the shared pmult
+    # plane and — when has_bias — the f32 dbias accumulator for hg heads,
+    # which lives across the whole inner (batch-block) grid dimension
+    fixed = (4 * Np * Np if has_pmult else 0) + \
+            (4 * hg * Np * Np if has_bias else 0)
     SB = _pick_winb(B, 1, per_row)
-    if has_pmult:
-        while SB > 1 and SB * per_row + 4 * Np * Np > _VMEM_BUDGET:
-            SB //= 2
+    while SB > 1 and SB * per_row + fixed > _VMEM_BUDGET:
+        SB //= 2
     q, k, v, do = (_pad_n(t, Np, (1,)) for t in (q, k, v, do))
     pmult_in = (_pad_n(pmult.astype(jnp.float32)[None], Np, (1, 2))
                 if has_pmult else jnp.zeros((1, 16, 16), jnp.float32))
@@ -377,7 +408,15 @@ def attention_core(q, k, v, bias, kmask, pmult, num_heads):
 
 
 def _ac_fwd(q, k, v, bias, kmask, pmult, num_heads):
-    if globattn_bwd_mode() == "store":
+    mode = globattn_bwd_mode()
+    if mode == "store" and os.environ.get("SKINJAX_GLOBATTN_BWD") is None:
+        # unset-env default: store only while the f32 P residual stays under
+        # the per-call ceiling; long-sequence text configs (GPT-2 T=1024)
+        # fall back to the residual-free recompute backward instead of OOM
+        B, N, _ = q.shape
+        if not _store_p_ok(B, num_heads, -(-N // 16) * 16):
+            mode = "recompute"
+    if mode == "store":
         y, p = _fwd_core(q, k, v, bias, kmask, pmult, num_heads=num_heads,
                          emit_p=True)
     else:

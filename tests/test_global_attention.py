@@ -62,8 +62,52 @@ def test_gradient_parity():
                                    atol=5e-4, rtol=5e-4, err_msg=n)
 
 
-def test_gradient_parity_grouped_no_bias():
-    B, N, C, h = 8, 32, 256, 8  # CG=128 head groups
+@pytest.mark.parametrize("bwd_mode", ["store", "recompute"])
+def test_gradient_parity_grouped_no_bias(bwd_mode, monkeypatch):
+    # CG=128 head groups (hd=32, hg>1) — BOTH backward modes must keep
+    # grouped-heads gradient coverage (r3 advisor: the recompute path lost
+    # it when the default flipped to store)
+    monkeypatch.setenv("SKINJAX_GLOBATTN_BWD", bwd_mode)
+    B, N, C, h = 8, 32, 256, 8
+    q, k, v = _qkv(B, N, C)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(jnp.sin(fn(q, k, v).astype(jnp.float32)))
+
+    gk = jax.grad(lambda *a: loss(
+        lambda q, k, v: attention_core(q, k, v, None, None, None, h), *a),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: loss(
+        lambda q, k, v: attention_core_reference(q, k, v, h), *a),
+        argnums=(0, 1, 2))(q, k, v)
+    for n, a, bb in zip(["dq", "dk", "dv"], gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
+
+
+def test_bwd_mode_env_validation(monkeypatch):
+    # a typo must error, not silently select recompute (r3 advisor)
+    from skinjax.ops.pallas.global_attention import globattn_bwd_mode
+    monkeypatch.setenv("SKINJAX_GLOBATTN_BWD", "stored")
+    with pytest.raises(ValueError):
+        globattn_bwd_mode()
+    monkeypatch.setenv("SKINJAX_GLOBATTN_BWD", "recompute")
+    assert globattn_bwd_mode() == "recompute"
+    monkeypatch.delenv("SKINJAX_GLOBATTN_BWD")
+    assert globattn_bwd_mode() == "store"
+
+
+def test_store_gate_falls_back_above_residual_cap(monkeypatch):
+    # unset default: residual-size gate routes big-P calls to recompute
+    from skinjax.ops.pallas.global_attention import _store_p_ok
+    monkeypatch.delenv("SKINJAX_GLOBATTN_BWD", raising=False)
+    assert _store_p_ok(32, 16, 208)            # beitv2_large B=32: ~88 MB
+    assert not _store_p_ok(32, 12, 1024)       # GPT-2 T=1024: ~1.6 GB
+    monkeypatch.setenv("SKINJAX_GLOBATTN_STORE_MAX_MB", "1")
+    assert not _store_p_ok(32, 16, 208)
+    # gradients stay correct when the gate trips (recompute path engages)
+    monkeypatch.setenv("SKINJAX_GLOBATTN_STORE_MAX_MB", "0.0001")
+    B, N, C, h = 2, 19, 48, 3
     q, k, v = _qkv(B, N, C)
 
     def loss(fn, q, k, v):
