@@ -1,0 +1,233 @@
+"""Fold-LEVEL training-dynamics parity vs torch: a full multi-epoch
+``train_process`` run against a torch mini-loop implementing the
+reference's training semantics end-to-end.
+
+``test_train_dynamics_parity`` pins gradients and 4-step trajectories;
+this pins the DECISION layer that determines every experiment's outcome
+over real epochs (r3 verdict Weak #3): ReduceLROnPlateau epoch decisions
+(torch's own scheduler on the torch side), the early-stop epoch, the
+best-weights epoch and reload, and the weighted-sampler interplay — both
+sides consume IDENTICAL batch index sequences from the shared
+``epoch_batches`` sampler and start from IDENTICAL weights (torch state
+dict imported through the production importer, injected into
+``train_process`` through its resume path, which this also exercises).
+
+Reference semantics mirrored on the torch side: train_pad_20.py:35-205
+(Adam + L2, weighted CE, per-epoch full-val loss, ReduceLROnPlateau
+factor 0.1 / patience 2, EarlyStopping delta 0.01 with best-state
+deepcopy + reload — utils/early_stopping.py:6-110). Dropout zeroed on
+both sides (no shared RNG stream); augmentation off (the eval-path
+normalize is mirrored exactly).
+"""
+
+import copy
+import json
+import os
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from skinjax.data.augment import IMAGENET_MEAN, IMAGENET_STD
+from skinjax.data.pipeline import ArraySource
+from skinjax.data.sampling import compute_class_weights, epoch_batches
+from skinjax.models import MultimodalModel
+from skinjax.models.torch_import import (
+    filter_to_template,
+    import_multimodal_checkpoint,
+)
+from skinjax.train import TrainConfig, train_process
+from skinjax.train.checkpoint import save_checkpoint
+from skinjax.train.kfold import SubsetSource
+from skinjax.train.optimizer import make_optimizer
+from skinjax.train.steps import TrainState
+from tests.test_full_model_parity import D, NCLS, VOCAB, TorchMM, _torch_state_dict
+
+# lr is deliberately cool: per-leaf gradient parity vs torch is ~1e-3
+# relative (different f32 conv reduction orders — see
+# test_train_dynamics_parity), so decision parity over ~50 steps needs a
+# smooth non-chaotic descent, not a hot trajectory whose spikes amplify
+# that noise into divergent epochs
+LR, WD = 2e-4, 1e-4
+B = 16
+N_TRAIN, N_VAL = 64, 32
+EPOCHS = 14
+SEED = 42
+IMG = 32
+
+
+def _data():
+    """Synthetic set with a WEAK metadata signal so the val loss improves,
+    plateaus, and triggers the LR/early-stop machinery within EPOCHS."""
+    rng = np.random.default_rng(5)
+    n = N_TRAIN + N_VAL
+    labels = rng.integers(0, NCLS, size=n).astype(np.int32)
+    images = rng.integers(0, 256, size=(n, IMG, IMG, 3), dtype=np.uint8)
+    feats = rng.normal(size=(n, VOCAB)).astype(np.float32)
+    feats[np.arange(n), labels % VOCAB] += 1.25
+    return images, feats, labels
+
+
+def _torch_fold(tm, images, feats, labels, tr_idx, va_idx, class_weights,
+                plateau_patience, es_patience, es_delta):
+    """The reference train_process semantics, run with torch's own
+    optimizer/scheduler. Returns the per-epoch record + final best logits."""
+    mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(1, 1, 1, 3)
+    std = np.asarray(IMAGENET_STD, np.float32).reshape(1, 1, 1, 3)
+
+    def t_img(idx):
+        x = images[idx].astype(np.float32) / 255.0
+        x = (x - mean) / std
+        return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+    opt = torch.optim.Adam(tm.parameters(), lr=LR, weight_decay=WD)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.1, patience=plateau_patience)
+    ce = nn.CrossEntropyLoss(weight=torch.tensor(class_weights))
+
+    best_score, best_sd, best_epoch, counter = None, None, -1, 0
+    rec = {"val_loss": [], "lr": [], "improved": []}
+    stop_epoch = EPOCHS - 1
+    va_lab = torch.tensor(labels[va_idx].astype(np.int64))
+    for epoch in range(EPOCHS):
+        tm.train()
+        for row in epoch_batches(labels[tr_idx], NCLS, B, seed=SEED,
+                                 epoch=epoch, weighted=True):
+            idx = tr_idx[row]
+            opt.zero_grad()
+            out = tm(t_img(idx), torch.tensor(feats[idx]))
+            loss = ce(out, torch.tensor(labels[idx].astype(np.int64)))
+            loss.backward()
+            opt.step()
+        tm.eval()
+        with torch.no_grad():
+            logits = tm(t_img(va_idx), torch.tensor(feats[va_idx]))
+            val_loss = float(ce(logits, va_lab))
+        sched.step(val_loss)
+        rec["val_loss"].append(val_loss)
+        rec["lr"].append(opt.param_groups[0]["lr"])
+        # reference EarlyStopping: score=-val_loss, no improvement when
+        # score < best + delta; best-state deepcopy on improvement
+        score = -val_loss
+        if best_score is not None and score < best_score + es_delta:
+            counter += 1
+            rec["improved"].append(False)
+            if counter >= es_patience:
+                stop_epoch = epoch
+                break
+        else:
+            best_score, best_epoch, counter = score, epoch, 0
+            best_sd = copy.deepcopy(tm.state_dict())
+            rec["improved"].append(True)
+    tm.load_state_dict(best_sd)
+    tm.eval()
+    with torch.no_grad():
+        best_logits = tm(t_img(va_idx), torch.tensor(feats[va_idx])).numpy()
+    return rec, best_epoch, stop_epoch, best_logits
+
+
+def test_fold_dynamics_match_torch(tmp_path):
+    plateau_patience, es_patience, es_delta = 2, 4, 0.01
+
+    torch.manual_seed(11)
+    tm = TorchMM("concatenation")
+    for m in tm.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+    sd = _torch_state_dict(tm)
+    params, stats = import_multimodal_checkpoint(sd, common_dim=D,
+                                                 backbone="resnet-18")
+
+    images, feats, labels = _data()
+    tr_idx = np.arange(N_TRAIN)
+    va_idx = np.arange(N_TRAIN, N_TRAIN + N_VAL)
+    class_weights = compute_class_weights(labels[tr_idx], NCLS)
+
+    # ---- skinjax side: the REAL train_process, weights injected via the
+    # resume path (epoch=-1 checkpoint -> start_epoch=0)
+    model = MultimodalModel(
+        num_classes=NCLS, num_heads=4, cnn_model_name="resnet-18",
+        common_dim=D, text_encoder_dim_output=D, vocab_size=VOCAB,
+        attention_mechanism="concatenation", dropout_rate=0.0,
+    )
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, VOCAB)))
+    params = filter_to_template(params, variables["params"])
+    stats = filter_to_template(stats, variables.get("batch_stats", {}))
+    # opt_state tree must match what train_process builds (masked optimizer
+    # even for the all-trainable default)
+    from skinjax.train.optimizer import trainable_mask
+    mask = trainable_mask(params, "unfrozen_weights")
+    tx = make_optimizer(LR, WD, mask=mask)
+    state0 = TrainState(params=params, batch_stats=stats,
+                        opt_state=tx.init(params), step=0)
+    resume_dir = str(tmp_path / "fold0")
+    os.makedirs(resume_dir, exist_ok=True)
+    save_checkpoint(os.path.join(resume_dir, "latest"), state0)
+    with open(os.path.join(resume_dir, "progress.json"), "w") as f:
+        json.dump({"epoch": -1}, f)
+
+    src = ArraySource(images, feats, labels)
+    cfg = TrainConfig(
+        num_epochs=EPOCHS, batch_size=B, learning_rate=LR, weight_decay=WD,
+        loss="weighted_ce", augment=False, image_dtype="float32",
+        weighted_sampling=True, seed=SEED,
+        plateau_factor=0.1, plateau_patience=plateau_patience,
+        early_stopping_patience=es_patience, early_stopping_delta=es_delta,
+    )
+    best_state, final_metrics, history = train_process(
+        model, SubsetSource(src, tr_idx), SubsetSource(src, va_idx),
+        num_classes=NCLS, config=cfg, resume_dir=resume_dir,
+    )
+
+    # ---- torch side: reference-semantics mini-loop, same weights/batches
+    rec, t_best_epoch, t_stop_epoch, t_best_logits = _torch_fold(
+        tm, images, feats, labels, tr_idx, va_idx, class_weights,
+        plateau_patience, es_patience, es_delta)
+
+    j_val = np.asarray(history["val_loss"])
+    t_val = np.asarray(rec["val_loss"])
+
+    # 1. identical run length (same early-stop epoch)
+    assert len(j_val) == len(t_val), (
+        f"early-stop epoch differs: skinjax ran {len(j_val)} epochs, "
+        f"torch ran {len(t_val)} (val {j_val} vs {t_val})")
+    assert final_metrics["epochs"] == t_stop_epoch
+
+    # 2. val-loss trajectory tolerance (f32 CPU drift over ~50 Adam steps)
+    np.testing.assert_allclose(j_val, t_val, atol=5e-3, rtol=5e-3)
+
+    # 3. identical plateau-drop epochs (lr sequence equality)
+    #    skinjax applies plateau on the SAME schedule; recover its lr path
+    from skinjax.train.optimizer import PlateauScheduler
+    ps = PlateauScheduler(lr=LR, factor=0.1, patience=plateau_patience)
+    j_lr = [ps.step(v) for v in j_val]
+    np.testing.assert_allclose(j_lr, rec["lr"], rtol=1e-12)
+
+    # 4. identical best epoch + the best-state reload produces matching
+    #    final val logits. "Best" follows the EarlyStopping delta rule
+    #    (improvement only when score >= best + delta), NOT argmin.
+    best, j_best_epoch = None, -1
+    for e, v in enumerate(j_val):
+        s = -float(v)
+        if best is None or s >= best + es_delta:
+            best, j_best_epoch = s, e
+    assert j_best_epoch == t_best_epoch
+    from skinjax.train.steps import make_eval_step
+    eval_step = make_eval_step(model, image_dtype=jnp.float32)
+    got = np.asarray(eval_step(best_state, jnp.asarray(images[va_idx]),
+                               jnp.asarray(feats[va_idx])))
+    # raw logits carry the accumulated per-step conv-reduction drift
+    # (~1e-3 relative per gradient, ~30+ steps to the best epoch), so the
+    # bound is drift-scale; the decision-relevant quantities stay tight:
+    # the best states' val LOSSES match and they predict the same classes.
+    np.testing.assert_allclose(got, t_best_logits, atol=1.5e-1, rtol=1e-1)
+    assert (got.argmax(1) == t_best_logits.argmax(1)).mean() >= 0.9
+    from skinjax.train.losses import make_loss_fn
+    loss_fn = make_loss_fn("weighted_ce", class_weights)
+    j_best_loss = float(loss_fn(jnp.asarray(got), jnp.asarray(labels[va_idx])))
+    t_best_loss = float(t_val[t_best_epoch])
+    assert abs(j_best_loss - t_best_loss) < 1e-2
