@@ -59,11 +59,40 @@ cfg = ExperimentConfig(
                       early_stopping_patience=10),
 )
 
+class _TimingTracker:
+    """Timestamps each per-epoch log_dict call from train_process so the
+    wall can be decomposed into compile-laden first epoch vs steady-state
+    epochs (the number a reference user experiences per epoch)."""
+
+    def __init__(self):
+        self.marks = []  # (perf_counter, epoch_step)
+
+    def log_dict(self, d, step=None):
+        self.marks.append((time.perf_counter(), step))
+
+    def log_metric(self, name, value, step=None):
+        pass
+
+    def log_param(self, name, value):
+        pass
+
+
+tracker = _TimingTracker()
 t0 = time.perf_counter()
-metrics = run_experiments(cfg, source=src, prepared=prepared)
+metrics = run_experiments(cfg, source=src, prepared=prepared, tracker=tracker)
 wall = time.perf_counter() - t0
 
-train_imgs_per_fold = int(N * (cfg.k_folds - 1) / cfg.k_folds) * EPOCHS
+# decompose: epoch durations per fold (epoch step resets between folds)
+epoch_s, first_epochs = [], []
+prev_t, prev_step = t0, 0
+for t, step in tracker.marks:
+    d = t - prev_t
+    (first_epochs if step == 1 else epoch_s).append(d)
+    prev_t, prev_step = t, step
+
+n_train_fold = int(N * (cfg.k_folds - 1) / cfg.k_folds)
+train_imgs_per_fold = n_train_fold * EPOCHS
+steady = float(np.mean(epoch_s)) if epoch_s else float("nan")
 print(json.dumps({
     "folds": len(metrics),
     "wall_s": round(wall, 1),
@@ -71,6 +100,12 @@ print(json.dumps({
     "train_images_total": train_imgs_per_fold * len(metrics),
     "e2e_train_images_per_sec": round(
         train_imgs_per_fold * len(metrics) / wall, 1),
+    # steady state: every epoch after each structure's first (train pass +
+    # full val pass + metrics + plateau/early-stop + host sync)
+    "first_epoch_s": [round(x, 1) for x in first_epochs],
+    "steady_epoch_s": round(steady, 2),
+    "steady_epoch_imgs_per_sec": round(n_train_fold / steady, 1),
+    "n_steady_epochs": len(epoch_s),
     "bacc": [round(float(m["balanced_accuracy"]), 4) for m in metrics],
 }, indent=None))
 

@@ -103,6 +103,12 @@ def evaluate(
     n_batches = -(-n // batch_size)
     probs_out = np.zeros((n, num_classes), dtype=np.float32)
     logits_out = np.zeros((n, num_classes), dtype=np.float32)
+    # dispatch-then-collect: enqueue every batch's eval_step before syncing
+    # any logits. The per-batch np.asarray sync of the old loop serialized
+    # (H2D transfer -> compute -> tiny D2H) round-trips; async dispatch lets
+    # the runtime overlap batch b+1's transfer with batch b's compute
+    # (measured as part of the §5k e2e epoch work).
+    pending = []
     for b in range(n_batches):
         idx = np.arange(b * batch_size, (b + 1) * batch_size) % n
         batch = source.batch(idx)
@@ -112,7 +118,8 @@ def evaluate(
             batch = {
                 k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in batch.items()
             }
-        logits = eval_step(state, batch["image"], batch["metadata"])
+        pending.append((idx, eval_step(state, batch["image"], batch["metadata"])))
+    for idx, logits in pending:
         logits = np.asarray(logits, dtype=np.float32)
         logits_out[idx] = logits  # wrap-duplicates overwrite identically
         probs_out[idx] = np.asarray(
@@ -177,7 +184,23 @@ def train_process(
     init_rng, rng = jax.random.split(rng)
     # optimizer with freeze mask
     probe_tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
-    state = create_train_state(model, init_rng, sample, probe_tx)
+    # fast-init: build the state pinned to CPU, then transfer — compiling
+    # the init program on a remote/tunneled accelerator costs minutes per
+    # fold (measured 175 s vs 26 s for resnet-50, DESIGN §5k); weights are
+    # identical (same PRNG). Mesh runs keep the default path —
+    # distribute_state places the state.
+    if mesh is None:
+        try:
+            accel = jax.devices()[0]
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                state = create_train_state(model, init_rng, sample, probe_tx)
+            if accel.platform != "cpu":
+                state = jax.device_put(state, accel)
+        except Exception:
+            state = create_train_state(model, init_rng, sample, probe_tx)
+    else:
+        state = create_train_state(model, init_rng, sample, probe_tx)
     tower = getattr(model, "text_module", None)
     if getattr(tower, "pretrained_params", None) is not None:
         # sentence towers built by build_sentence_tower carry imported HF
@@ -327,14 +350,23 @@ def train_process(
                 step=epoch + 1,
             )
 
-        # Snapshot to host before retaining: the jitted train step donates its
-        # input state buffers, so a device-resident "best" snapshot would be
-        # invalidated by the next epoch's first step. Host copy == the
-        # reference's state_dict deepcopy (early_stopping.py:63).
+        # Snapshot best weights as DEVICE-RESIDENT copies (jnp.copy — real
+        # new buffers, so the train step's donation of the live state can't
+        # invalidate them) of params + batch_stats only. The reference
+        # deepcopies model.state_dict() — params+buffers, never optimizer
+        # state (early_stopping.py:63) — and the old full-state host
+        # device_get was the dominant e2e epoch cost on a tunneled chip
+        # (~300 MB/improvement epoch; docs/DESIGN.md §5k). opt_state=None
+        # here; load_best()/the resume save patch in a live opt_state.
         improved = early(
             val_loss=val_loss,
             val_bacc=float(metrics["balanced_accuracy"]),
-            state=lambda s=state: jax.device_get(s),
+            state=lambda s=state: dataclasses.replace(
+                s,
+                params=jax.tree_util.tree_map(jnp.copy, s.params),
+                batch_stats=jax.tree_util.tree_map(jnp.copy, s.batch_stats),
+                opt_state=None,
+            ),
         )
         if resume_dir:
             import json
@@ -343,8 +375,13 @@ def train_process(
             from skinjax.train.checkpoint import save_checkpoint
 
             if improved:
-                save_checkpoint(os.path.join(resume_dir, "best"),
-                                early.best_state)
+                # the snapshot carries no opt_state (see above); persist the
+                # best checkpoint with the LIVE epoch-end opt_state so the
+                # on-disk tree matches the restore template
+                save_checkpoint(
+                    os.path.join(resume_dir, "best"),
+                    dataclasses.replace(early.best_state,
+                                        opt_state=state.opt_state))
             save_checkpoint(os.path.join(resume_dir, "latest"), state)
             with open(os.path.join(resume_dir, "progress.json"), "w") as f:
                 json.dump({
@@ -361,6 +398,11 @@ def train_process(
             break
 
     best_state = early.load_best(state)
+    if best_state is not state and best_state.opt_state is None:
+        # re-attach the final live opt_state (the loop has exited, nothing
+        # donates it anymore) — callers persist/restore full TrainState
+        # trees, and torch-reference semantics never reload optimizer state
+        best_state = dataclasses.replace(best_state, opt_state=state.opt_state)
     final_metrics, labels, preds, probs, _ = evaluate(
         eval_step, best_state, val_source, cfg.batch_size, num_classes, loss_fn,
         put_batch=put_batch,
