@@ -84,9 +84,6 @@ class MViTAttention(nn.Module):
         k, k_size = pool(k, self.stride_kv, "pool_k", "norm_k")
         v, _ = pool(v, self.stride_kv, "pool_v", "norm_v")
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
-                          preferred_element_type=jnp.float32)
-
         # decomposed relative position embeddings (static index maps)
         rel_dim = 2 * max(q_size[0], k_size[0]) - 1
         rel_h = self.param("rel_pos_h", nn.initializers.zeros, (rel_dim, hd))
@@ -96,13 +93,48 @@ class MViTAttention(nn.Module):
         r_q = q.reshape(B, h, q_size[0], q_size[1], hd)
         bias_h = jnp.einsum("byhwc,hkc->byhwk", r_q, Rh.astype(q.dtype))
         bias_w = jnp.einsum("byhwc,wkc->byhwk", r_q, Rw.astype(q.dtype))
-        attn = attn.reshape(B, h, *q_size, *k_size)
-        attn = attn + bias_h[..., :, None].astype(attn.dtype) \
-                    + bias_w[..., None, :].astype(attn.dtype)
-        attn = attn.reshape(B, h, q_size[0] * q_size[1], k_size[0] * k_size[1])
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        from skinjax.ops.pallas.global_attention import globattn_mode
+        Nq = q_size[0] * q_size[1]
+        Nk = k_size[0] * k_size[1]
+        # SKINJAX_POOLED_ATTN scopes which blocks fuse:
+        # - "auto" (default): every block EXCEPT the large cross-shaped
+        #   stage-0 transition (Nq=3136 != Nk) — including that one kernel
+        #   in the full-model program deterministically crashes the remote
+        #   TPU compile helper at B>=32 (no Mosaic diagnostic; the shape
+        #   compiles fine alone — bisected in DESIGN §5l),
+        # - "equal": equal-length body blocks only,
+        # - "all": everything (the helper-crash repro), "": disabled.
+        import os as _os
+        scope = _os.environ.get("SKINJAX_POOLED_ATTN", "auto")
+        scoped = {"auto": Nq == Nk or Nq <= 1024,
+                  "equal": Nq == Nk,
+                  "all": True}.get(scope, False)
+        fuse = (globattn_mode() == "pallas" and not self.is_initializing()
+                and scoped)
+        if fuse:
+            # fused pooled-attention core: scores -> decomposed-bias add
+            # (expanded IN-KERNEL, never materialized as (B,h,Nq,Nk) or the
+            # 6-D f32 broadcast the XLA form lowers to) -> softmax -> p@v,
+            # all VMEM-resident per (b,h) cell; stored-P backward
+            # (ops/pallas/pooled_attention.py, DESIGN §5l)
+            from skinjax.ops.pallas.pooled_attention import pooled_attention
+
+            out = pooled_attention(
+                q, k, v,
+                bias_h.reshape(B, h, Nq, k_size[0]),
+                bias_w.reshape(B, h, Nq, k_size[1]),
+                (int(k_size[0]), int(k_size[1])),
+            )
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
+                              preferred_element_type=jnp.float32)
+            attn = attn.reshape(B, h, *q_size, *k_size)
+            attn = attn + bias_h[..., :, None].astype(attn.dtype) \
+                        + bias_w[..., None, :].astype(attn.dtype)
+            attn = attn.reshape(B, h, Nq, k_size[0] * k_size[1])
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out + q  # residual pooling
         out = out.transpose(0, 2, 1, 3).reshape(B, -1, self.dim_out)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out), q_size
