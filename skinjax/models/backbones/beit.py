@@ -83,12 +83,13 @@ class BeitAttention(nn.Module):
         rel_bias = table[idx].transpose(2, 0, 1)  # (h, N, N) f32
 
         from skinjax.ops.pallas.global_attention import (
-            attention_core, globattn_mode)
+            attention_core, globattn_ok)
 
         # init often runs pinned to CPU (fast-init pattern) where a compiled
         # pallas_call cannot lower; the core is param-free, so the XLA
-        # branch is init-safe
-        if globattn_mode() == "pallas" and not self.is_initializing():
+        # branch is init-safe. globattn_ok: bias path caps at N<=512
+        # (ViT/BEiT N=197 is far inside; DESIGN §5m)
+        if globattn_ok(N, has_bias=True) and not self.is_initializing():
             # fused core on the head-major channel layout — minor-axis
             # slices only, no (B, N, h, hd) relayout, no HBM score tensor
             # (measured beitv2_large B=32: 215.5 -> see DESIGN §5h)

@@ -66,11 +66,14 @@ class _BertSelfAttention(nn.Module):
         v = nn.Dense(D, dtype=self.dtype, name="value")(x)
 
         from skinjax.ops.pallas.global_attention import (
-            attention_core, globattn_mode)
+            attention_core, globattn_ok)
 
         # is_initializing: init may run pinned to CPU (fast-init pattern)
-        # where a compiled pallas_call cannot lower; the core is param-free
-        if globattn_mode() == "pallas" and not self.is_initializing():
+        # where a compiled pallas_call cannot lower; the core is param-free.
+        # globattn_ok adds the helper-tolerated sequence caps (DESIGN §5m);
+        # the key mask is a (B, T) input, not a bias block, so BERT fuses
+        # through T=1024.
+        if globattn_ok(x.shape[1]) and not self.is_initializing():
             # fused scores->softmax->p@v on the head-major channel layout
             # the Dense outputs already have; the additive key mask rides
             # as a (B, T) kernel input. Training attention-prob dropout

@@ -69,14 +69,16 @@ class _GPT2Attention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=2)
 
         from skinjax.ops.pallas.global_attention import (
-            attention_core, globattn_mode)
+            attention_core, globattn_ok)
 
         causal = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
             <= jax.lax.broadcasted_iota(jnp.int32, (T, T), 0),
             0.0, -1e9).astype(jnp.float32)
 
-        if globattn_mode() == "pallas" and not self.is_initializing():
+        # has_bias: the causal mask rides as an (h, T, T) bias block, so
+        # the fused path caps at T<=512 (helper crash at 640+, DESIGN §5m)
+        if globattn_ok(T, has_bias=True) and not self.is_initializing():
             # causal structure as a constant per-head bias; key padding as
             # the (B, T) additive mask input. q/k/v from the packed c_attn
             # are already in the head-major channel layout the core wants.

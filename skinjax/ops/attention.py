@@ -97,9 +97,11 @@ class MultiHeadAttention(nn.Module):
         Skv = kh.shape[1]
 
         from skinjax.ops.pallas.global_attention import (
-            attention_core, globattn_mode)
+            attention_core, globattn_ok)
 
-        # Auto-on for TPU backends (globattn_mode), same evidence-based
+        # Auto-on for TPU backends (globattn_ok — backend check plus the
+        # sequence-length caps the Mosaic compile helper tolerates, DESIGN
+        # §5m), same evidence-based
         # defaulting as the window kernels (§5b-r3c): with the stored-P
         # backward the fused core measured +10.4% on the vit_large train
         # step same-run vs XLA's bias-free attention (docs/DESIGN.md §5i-b;
@@ -110,7 +112,7 @@ class MultiHeadAttention(nn.Module):
         if (Sq == Skv and mask is None
                 and (self.dropout_rate == 0.0 or deterministic)
                 and not self.is_initializing()
-                and globattn_mode() == "pallas"):
+                and globattn_ok(Sq)):
             # fused scores->softmax->p@v core on the head-major channel
             # layout the Dense outputs already have — no head reshape, no
             # HBM (B, h, S, S) score tensor (ops/pallas/global_attention.py)

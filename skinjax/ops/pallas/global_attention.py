@@ -119,6 +119,31 @@ def globattn_mode() -> str:
     return ""
 
 
+def globattn_ok(n: int, has_bias: bool = False) -> bool:
+    """Full eligibility check for the fused core at sequence length ``n``.
+
+    The remote-TPU Mosaic compile helper deterministically crashes (HTTP
+    500, no diagnostic) when a per-cell VMEM block gets too large —
+    bisected on the v5e (DESIGN §5m): the additive-bias path fails at
+    Np>=640 (the (hg, Np, Np) f32 bias block), while the kmask/no-bias
+    paths compile through Np=1024. Callers fall back to the XLA einsum
+    path above the caps (overridable via SKINJAX_GLOBATTN_MAX_N[_BIAS]).
+    """
+    if globattn_mode() != "pallas":
+        return False
+    Np = -(-n // 16) * 16
+
+    def _cap(env, default):
+        try:
+            return int(os.environ.get(env, default))
+        except ValueError:
+            return default
+
+    if has_bias and Np > _cap("SKINJAX_GLOBATTN_MAX_N_BIAS", 512):
+        return False
+    return Np <= _cap("SKINJAX_GLOBATTN_MAX_N", 1024)
+
+
 def attention_core_reference(q, k, v, num_heads, bias=None, kmask=None,
                              pmult=None):
     """Pure-XLA reference (also the parity-test oracle). q/k/v: (B, N, C)
@@ -410,11 +435,22 @@ def attention_core(q, k, v, bias, kmask, pmult, num_heads):
 def _ac_fwd(q, k, v, bias, kmask, pmult, num_heads):
     mode = globattn_bwd_mode()
     if mode == "store" and os.environ.get("SKINJAX_GLOBATTN_BWD") is None:
-        # unset-env default: store only while the f32 P residual stays under
-        # the per-call ceiling; long-sequence text configs (GPT-2 T=1024)
-        # fall back to the residual-free recompute backward instead of OOM
-        B, N, _ = q.shape
-        if not _store_p_ok(B, num_heads, -(-N // 16) * 16):
+        # unset-env default: store only while (a) the f32 P residual stays
+        # under the per-call ceiling — long-sequence text configs fall back
+        # to the residual-free recompute backward instead of OOM — and
+        # (b) the per-cell emitted-P VMEM block (hg*Np^2 f32) stays small
+        # enough for the Mosaic compile helper (measured crash at ~8 MB,
+        # N=1024; DESIGN §5m)
+        B, N, C = q.shape
+        Np = -(-N // 16) * 16
+        hg = _heads_per_group(num_heads, C // num_heads)
+        if (not _store_p_ok(B, num_heads, Np)
+                or 4 * hg * Np * Np > 4 * 1024 * 1024
+                # under block remat the forward is replayed in the backward
+                # anyway, so the stored residual is pure extra HBM traffic:
+                # measured beitv2_large B=64 SKINJAX_REMAT=block — recompute
+                # 303.4 vs store 271.0 img/s (DESIGN §5m)
+                or os.environ.get("SKINJAX_REMAT", "") == "block"):
             mode = "recompute"
     if mode == "store":
         y, p = _fwd_core(q, k, v, bias, kmask, pmult, num_heads=num_heads,

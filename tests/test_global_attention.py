@@ -317,3 +317,17 @@ def test_mode_resolution(monkeypatch):
     assert globattn_mode() == ""
     monkeypatch.delenv("SKINJAX_GLOBATTN")
     assert globattn_mode() == ""  # CPU backend in tests -> XLA default
+
+
+def test_globattn_ok_sequence_caps(monkeypatch):
+    # helper-crash caps (DESIGN §5m): bias path <=512, plain path <=1024
+    from skinjax.ops.pallas.global_attention import globattn_ok
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "pallas")
+    assert globattn_ok(197, has_bias=True)      # ViT/BEiT
+    assert globattn_ok(512, has_bias=True)      # GPT-2 T=512
+    assert not globattn_ok(640, has_bias=True)  # helper crash territory
+    assert not globattn_ok(1024, has_bias=True)
+    assert globattn_ok(1024)                    # kmask/no-bias path
+    assert not globattn_ok(1040)
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "")
+    assert not globattn_ok(197, has_bias=True)
