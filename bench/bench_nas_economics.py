@@ -21,18 +21,31 @@ from skinjax.nas.search import run_nas
 from skinjax.train.loop import TrainConfig
 
 STEPS = int(__import__("os").environ.get("NAS_STEPS", "64"))
+IMG = int(__import__("os").environ.get("NAS_IMG", "64"))
 POP = 8
 
-src = synthetic_source(n=256, image_size=(64, 64), feature_dim=85,
+src = synthetic_source(n=256, image_size=(IMG, IMG), feature_dim=85,
                        num_classes=6, seed=0)
 cfg = TrainConfig(num_epochs=2, batch_size=32, early_stopping_patience=5,
                   early_stopping_metric="val_bacc")
 
 t0 = time.time()
+
+
+class _Progress:
+    """Per-step heartbeat so a timeout still leaves a trajectory."""
+
+    def log_metric(self, name, value, step=None):
+        if name == "reward" and step is not None and step % 8 == 0:
+            print(json.dumps({"progress_step": step,
+                              "elapsed_s": round(time.time() - t0, 1)}),
+                  flush=True)
+
+
 best_cfg, best_reward, log = run_nas(
     src, 6, strategy="reinforce", search_steps=STEPS,
     train_cfg=cfg, results_dir="/tmp/nas_econ", seed=11,
-    population_size=POP, memoize=True,
+    population_size=POP, memoize=True, tracker=_Progress(),
 )
 wall = time.time() - t0
 
