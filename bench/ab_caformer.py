@@ -1,0 +1,51 @@
+"""Same-run A/B: fused pooled-attention core (SKINJAX_GLOBATTN=pallas ->
+ops/pallas/pooled_attention.py) vs the XLA einsum path, caformer_b36 full
+multimodal train step on the v5e. Same harness as bench.py; A/B within one
+process per CLAUDE.md (tunnel latency varies ~2x across runs)."""
+import os as _os, sys as _sys  # repo-root import shim (scripts live in bench/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import gc
+import json
+import os
+
+os.environ.setdefault("SKINJAX_WINATTN", "pallas")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from skinjax.models import MultimodalModel
+
+out = {}
+
+
+def measure(tag, B, env):
+    os.environ["SKINJAX_GLOBATTN"] = env
+    model = MultimodalModel(
+        num_classes=6, num_heads=8, cnn_model_name="caformer_b36",
+        text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+        dtype=jnp.bfloat16,
+    )
+    try:
+        ips, state = bench._train_throughput(model, B)
+        out[tag] = round(ips, 1)
+        del state
+    except Exception as e:
+        out[tag + "_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+    gc.collect()
+    print(json.dumps({tag: out.get(tag, out.get(tag + "_error"))}),
+          flush=True)
+
+
+measure("caformer_B32_xla", 32, "")
+measure("caformer_B32_pallas", 32, "pallas")
+# re-measure A to bound tunnel drift
+measure("caformer_B32_xla_2", 32, "")
+measure("caformer_B32_pallas_2", 32, "pallas")
+
+print(json.dumps(out))

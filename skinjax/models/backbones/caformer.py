@@ -78,15 +78,28 @@ class MetaFormerAttention(nn.Module):
         t = x.reshape(B, H * W, C)
         qkv = nn.Dense(3 * att_dim, use_bias=False, dtype=self.dtype,
                        name="qkv")(t)
-        # minor-axis slices (timm unit order [q|k|v][h][hd]); avoids the 5-D
-        # relayout copies the v5e trace showed for split+transpose
-        q = qkv[..., :att_dim].reshape(B, -1, h, hd)
-        k = qkv[..., att_dim:2 * att_dim].reshape(B, -1, h, hd)
-        v = qkv[..., 2 * att_dim:].reshape(B, -1, h, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(t.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+        from skinjax.ops.pallas.global_attention import (
+            attention_core, globattn_ok)
+
+        # fused global core (bias-free, N=196/49 — well inside the §5m
+        # caps) on the head-major channel layout the packed qkv already
+        # has; the caformer_b36 stage-2/3 bucket is 40.8% of the step
+        # (DESIGN §5n). is_initializing: CPU fast-init can't lower pallas.
+        if globattn_ok(H * W) and not self.is_initializing():
+            out = attention_core(
+                qkv[..., :att_dim], qkv[..., att_dim:2 * att_dim],
+                qkv[..., 2 * att_dim:], None, None, None, h)
+        else:
+            # minor-axis slices (timm unit order [q|k|v][h][hd]); avoids
+            # the 5-D relayout copies the v5e trace showed
+            q = qkv[..., :att_dim].reshape(B, -1, h, hd)
+            k = qkv[..., att_dim:2 * att_dim].reshape(B, -1, h, hd)
+            v = qkv[..., 2 * att_dim:].reshape(B, -1, h, hd)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(t.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(B, H * W, att_dim)
         out = nn.Dense(C, use_bias=False, dtype=self.dtype, name="proj")(out)
         return out.reshape(B, H, W, C)

@@ -331,3 +331,33 @@ def test_globattn_ok_sequence_caps(monkeypatch):
     assert not globattn_ok(1040)
     monkeypatch.setenv("SKINJAX_GLOBATTN", "")
     assert not globattn_ok(197, has_bias=True)
+
+
+def test_caformer_attention_module_parity(monkeypatch):
+    """MetaFormerAttention with the fused core == the einsum path (same
+    params/input) — interpret mode on CPU runs the kernel arithmetic."""
+    from skinjax.models.backbones.caformer import MetaFormerAttention
+
+    mod = MetaFormerAttention(dim=64, head_dim=32)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 64)), jnp.float32)
+    variables = mod.init(jax.random.key(0), x)
+
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "")
+    want = mod.apply(variables, x)
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "pallas")
+    got = mod.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    def loss(params, env):
+        monkeypatch.setenv("SKINJAX_GLOBATTN", env)
+        return jnp.sum(jnp.sin(mod.apply({"params": params}, x)
+                               .astype(jnp.float32)))
+
+    g1 = jax.grad(lambda p: loss(p, ""))(variables["params"])
+    g2 = jax.grad(lambda p: loss(p, "pallas"))(variables["params"])
+    for path, l1 in jax.tree_util.tree_leaves_with_path(g1):
+        l2 = dict(jax.tree_util.tree_leaves_with_path(g2))[path]
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   atol=5e-4, rtol=5e-4, err_msg=str(path))
