@@ -106,9 +106,16 @@ class MViTAttention(nn.Module):
         # - "equal": equal-length body blocks only,
         # - "all": everything (the helper-crash repro), "": disabled.
         import os as _os
+
+        from skinjax.ops.pallas.pooled_attention import pooled_attn_ok
         scope = _os.environ.get("SKINJAX_POOLED_ATTN", "auto")
-        scoped = {"auto": Nq == Nk or Nq <= 1024,
-                  "equal": Nq == Nk,
+        # capacity gate (ADVICE r4, low): the equal-length case is capped
+        # too — per-cell f32 P block must fit VMEM and the stored-P
+        # residual must stay under the per-layer ceiling, else fall back
+        # to XLA (which handles any size) instead of crashing Mosaic.
+        cap_ok = pooled_attn_ok(B, h, Nq, Nk)
+        scoped = {"auto": (Nq == Nk or Nq <= 1024) and cap_ok,
+                  "equal": Nq == Nk and cap_ok,
                   "all": True}.get(scope, False)
         fuse = (globattn_mode() == "pallas" and not self.is_initializing()
                 and scoped)

@@ -144,6 +144,28 @@ def _pad16(n: int) -> int:
     return -(-n // 16) * 16
 
 
+# Per-cell VMEM ceiling for the f32 P plane (Npq x Npk x 4 bytes must fit in
+# one VMEM block alongside q/k/v/do — 4 MB = 1024x1024 f32, the same ceiling
+# the §5m sequence-cap measurements found for the global core's bias path)
+# and a whole-call ceiling for the stored-P residual (G x Npq x Npk f32 HBM
+# bytes per fused layer), mirroring global_attention._store_p_ok.
+_P_CELL_BYTES = 4 * 1024 * 1024
+_P_RESIDUAL_BYTES = 256 * 1024 * 1024
+
+
+def pooled_attn_ok(B: int, h: int, Nq: int, Nk: int) -> bool:
+    """Capacity gate for fusing one pooled-attention block: True when the
+    per-cell f32 P block fits VMEM and the stored-P residual for the call
+    stays under the per-layer HBM ceiling (ADVICE r4: the equal-length case
+    previously had NO upper bound — Nq=Nk>=2048, e.g. stride_kv=1 at an
+    early stage or larger inputs, is Mosaic-helper-crash territory per
+    DESIGN §5l/§5m)."""
+    npq, npk = _pad16(Nq), _pad16(Nk)
+    if npq * npk * 4 > _P_CELL_BYTES:
+        return False
+    return B * h * npq * npk * 4 <= _P_RESIDUAL_BYTES
+
+
 def _fwd_core(q, k, v, bh, bw, *, k_size, emit_p: bool):
     B, h, Nq, hd = q.shape
     Nk = k.shape[2]

@@ -10,6 +10,7 @@ with the in-fold dp×tp mesh without touching it.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import List, Optional
 
 
@@ -127,8 +128,17 @@ def run_kfold_submeshes(
             if entry == "model_metrics.csv":
                 continue  # rebuilt below in fold order
             dst = os.path.join(results_dir, entry)
-            if not os.path.exists(dst):
-                shutil.move(src_p, dst)
+            if os.path.exists(dst):
+                # same-named artifact from two submeshes (e.g. a shared
+                # summary/plot filename): keep BOTH, namespacing the later
+                # one by submesh instead of silently dropping it
+                # (ADVICE r4, low)
+                stem, ext = os.path.splitext(entry)
+                dst = os.path.join(results_dir, f"{stem}.submesh{i}{ext}")
+                warnings.warn(
+                    f"submesh artifact collision: {entry} already merged; "
+                    f"keeping submesh {i}'s copy as {os.path.basename(dst)}")
+            shutil.move(src_p, dst)
         shutil.rmtree(sub, ignore_errors=True)
     merged = sorted((m for r in per_mesh for m in r),
                     key=lambda m: m.get("fold", 0))

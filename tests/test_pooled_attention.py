@@ -64,6 +64,23 @@ def test_gradient_parity(B, h, q_size, k_size, hd):
                                    atol=5e-4, rtol=5e-4, err_msg=n)
 
 
+def test_pooled_attn_capacity_gate():
+    """ADVICE r4 (low): the fuse gate must cap the EQUAL-length case too —
+    an Nq=Nk>=2048 block would put a multi-ten-MB f32 P plane in one VMEM
+    block (Mosaic-crash territory) and an unbounded stored-P residual."""
+    from skinjax.ops.pallas.pooled_attention import pooled_attn_ok
+
+    # every mvitv2_small production block shape stays fused
+    assert pooled_attn_ok(32, 1, 784, 784)     # stage-1 body
+    assert pooled_attn_ok(32, 2, 784, 196)     # stage-1 transition
+    assert pooled_attn_ok(32, 8, 49, 49)       # stage-3 body
+    # equal-length blocks past the VMEM cell cap are rejected
+    assert not pooled_attn_ok(1, 1, 2048, 2048)
+    assert not pooled_attn_ok(1, 1, 3136, 3136)
+    # residual ceiling: huge batch x heads rejects even small cells
+    assert not pooled_attn_ok(4096, 16, 784, 784)
+
+
 def test_mvit_attention_module_parity(monkeypatch):
     """MViTAttention with the fused kernel enabled == the XLA einsum path
     (same params, same input) — the module-integration check."""

@@ -114,6 +114,26 @@ def test_frozen_backbone_params_do_not_move():
             np.testing.assert_array_equal(np.asarray(leaf), np.asarray(node))
 
 
+def test_best_state_full_tree_usable_after_later_epochs(tmp_path):
+    """Regression (ADVICE r4, high): the device-resident best snapshot must
+    copy EVERY leaf it keeps — including ``step`` — because later epochs'
+    jitted train steps donate the live state's buffers. A huge early-stopping
+    delta pins the best epoch to 0 while training runs 3 more (donating)
+    epochs; consuming the full returned tree then raised
+    'Array has been deleted' before the fix."""
+    src = synthetic_source(n=48, image_size=(32, 32), feature_dim=16, num_classes=4)
+    train = SubsetSource(src, np.arange(32))
+    val = SubsetSource(src, np.arange(32, 48))
+    cfg = _cfg(num_epochs=4, early_stopping_delta=100.0)
+    state, metrics, _ = train_process(_model(), train, val, num_classes=4, config=cfg)
+    host = jax.device_get(state)  # full-tree consumer, step included
+    assert int(host.step) > 0
+    # the kfold save_checkpoints=True path is exactly this consumer
+    from skinjax.train.checkpoint import save_checkpoint
+
+    save_checkpoint(str(tmp_path / "best"), state)
+
+
 def test_run_kfold_produces_artifacts(tmp_path):
     src = synthetic_source(n=60, image_size=(32, 32), feature_dim=16, num_classes=3)
     metrics = run_kfold(
