@@ -82,11 +82,17 @@ class MetaFormerAttention(nn.Module):
         from skinjax.ops.pallas.global_attention import (
             attention_core, globattn_ok)
 
-        # fused global core (bias-free, N=196/49 — well inside the §5m
-        # caps) on the head-major channel layout the packed qkv already
-        # has; the caformer_b36 stage-2/3 bucket is 40.8% of the step
-        # (DESIGN §5n). is_initializing: CPU fast-init can't lower pallas.
-        if globattn_ok(H * W) and not self.is_initializing():
+        # The fused global core is OPT-IN here (SKINJAX_CAFORMER_ATTN=
+        # pallas), NOT the TPU default: routing these blocks through the
+        # kernel inside the full caformer_b36 train program crashes the
+        # remote TPU compile helper (HTTP 500, both attempts — measured
+        # refutation, DESIGN §5n; the same shapes pass parity in
+        # interpret mode, test_global_attention.py:336). The XLA einsum
+        # path measures 410-414.5 img/s B=32 and stays the default.
+        # is_initializing: CPU fast-init can't lower pallas.
+        import os as _os
+        if (_os.environ.get("SKINJAX_CAFORMER_ATTN", "") == "pallas"
+                and globattn_ok(H * W) and not self.is_initializing()):
             out = attention_core(
                 qkv[..., :att_dim], qkv[..., att_dim:2 * att_dim],
                 qkv[..., 2 * att_dim:], None, None, None, h)

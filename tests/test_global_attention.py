@@ -333,9 +333,34 @@ def test_globattn_ok_sequence_caps(monkeypatch):
     assert not globattn_ok(197, has_bias=True)
 
 
+def test_caformer_attention_default_is_xla(monkeypatch):
+    """Without the explicit opt-in, MetaFormerAttention must stay on the
+    XLA einsum path even when the global kernel mode is on — the fused
+    default was reverted on measured evidence (DESIGN §5n)."""
+    from skinjax.models.backbones.caformer import MetaFormerAttention
+    from skinjax.ops.pallas import global_attention as ga
+
+    mod = MetaFormerAttention(dim=64, head_dim=32)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 64)), jnp.float32)
+    variables = mod.init(jax.random.key(0), x)
+
+    monkeypatch.setenv("SKINJAX_GLOBATTN", "pallas")
+    monkeypatch.delenv("SKINJAX_CAFORMER_ATTN", raising=False)
+
+    def boom(*a, **k):
+        raise AssertionError("fused core must not engage by default")
+
+    monkeypatch.setattr(ga, "attention_core", boom)
+    mod.apply(variables, x)  # einsum path; boom would fail the test
+
+
 def test_caformer_attention_module_parity(monkeypatch):
     """MetaFormerAttention with the fused core == the einsum path (same
-    params/input) — interpret mode on CPU runs the kernel arithmetic."""
+    params/input) — interpret mode on CPU runs the kernel arithmetic.
+    The fused path is OPT-IN (SKINJAX_CAFORMER_ATTN=pallas): the full-
+    program default was measured-refuted on chip (DESIGN §5n — remote
+    compile-helper crash), so the kernel stays parity-covered but off."""
     from skinjax.models.backbones.caformer import MetaFormerAttention
 
     mod = MetaFormerAttention(dim=64, head_dim=32)
@@ -343,6 +368,7 @@ def test_caformer_attention_module_parity(monkeypatch):
     x = jnp.asarray(rng.normal(size=(2, 4, 4, 64)), jnp.float32)
     variables = mod.init(jax.random.key(0), x)
 
+    monkeypatch.setenv("SKINJAX_CAFORMER_ATTN", "pallas")
     monkeypatch.setenv("SKINJAX_GLOBATTN", "")
     want = mod.apply(variables, x)
     monkeypatch.setenv("SKINJAX_GLOBATTN", "pallas")
