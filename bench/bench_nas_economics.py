@@ -23,6 +23,9 @@ from skinjax.train.loop import TrainConfig
 STEPS = int(__import__("os").environ.get("NAS_STEPS", "64"))
 IMG = int(__import__("os").environ.get("NAS_IMG", "64"))
 POP = 8
+# r5: fixed space-wide envelope — at most 2 cold compiles (pooling T/F) for
+# the WHOLE search instead of one per shape-bucket (DESIGN §5e-r4 (a))
+FIXED_ENV = __import__("os").environ.get("NAS_FIXED_ENV", "1") != "0"
 
 src = synthetic_source(n=256, image_size=(IMG, IMG), feature_dim=85,
                        num_classes=6, seed=0)
@@ -46,6 +49,7 @@ best_cfg, best_reward, log = run_nas(
     src, 6, strategy="reinforce", search_steps=STEPS,
     train_cfg=cfg, results_dir="/tmp/nas_econ", seed=11,
     population_size=POP, memoize=True, tracker=_Progress(),
+    fixed_envelope=FIXED_ENV,
 )
 wall = time.time() - t0
 

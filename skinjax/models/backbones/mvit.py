@@ -103,20 +103,34 @@ class MViTAttention(nn.Module):
         #   in the full-model program deterministically crashes the remote
         #   TPU compile helper at B>=32 (no Mosaic diagnostic; the shape
         #   compiles fine alone — bisected in DESIGN §5l),
+        # - "chunked": auto + the stage-0 block fused through QUERY-CHUNK
+        #   folding (pooled_attention_chunked: Nq split into grid cells of
+        #   <=1024 rows — the 3136x196 block becomes 4 cells of the
+        #   784-row shape stage 1 already compiles; exact, softmax is
+        #   per-row),
         # - "equal": equal-length body blocks only,
-        # - "all": everything (the helper-crash repro), "": disabled.
+        # - "all": everything single-cell (the §5l helper-crash repro),
+        # - "": disabled.
         import os as _os
 
-        from skinjax.ops.pallas.pooled_attention import pooled_attn_ok
+        from skinjax.ops.pallas.pooled_attention import (
+            pooled_attn_ok, query_chunks)
         scope = _os.environ.get("SKINJAX_POOLED_ATTN", "auto")
         # capacity gate (ADVICE r4, low): the equal-length case is capped
         # too — per-cell f32 P block must fit VMEM and the stored-P
         # residual must stay under the per-layer ceiling, else fall back
         # to XLA (which handles any size) instead of crashing Mosaic.
         cap_ok = pooled_attn_ok(B, h, Nq, Nk)
+        chunks = (query_chunks(Nq) or 1) if Nq != Nk else 1
+        chunk_ok = (query_chunks(Nq) is not None
+                    and pooled_attn_ok(B, h * chunks, Nq // chunks, Nk))
         scoped = {"auto": (Nq == Nk or Nq <= 1024) and cap_ok,
+                  "chunked": ((Nq == Nk or Nq <= 1024) and cap_ok)
+                             or chunk_ok,
                   "equal": Nq == Nk and cap_ok,
                   "all": True}.get(scope, False)
+        if scope != "chunked" or Nq <= 1024 or Nq == Nk:
+            chunks = 1
         fuse = (globattn_mode() == "pallas" and not self.is_initializing()
                 and scoped)
         if fuse:
@@ -125,13 +139,15 @@ class MViTAttention(nn.Module):
             # 6-D f32 broadcast the XLA form lowers to) -> softmax -> p@v,
             # all VMEM-resident per (b,h) cell; stored-P backward
             # (ops/pallas/pooled_attention.py, DESIGN §5l)
-            from skinjax.ops.pallas.pooled_attention import pooled_attention
+            from skinjax.ops.pallas.pooled_attention import (
+                pooled_attention_chunked)
 
-            out = pooled_attention(
+            out = pooled_attention_chunked(
                 q, k, v,
                 bias_h.reshape(B, h, Nq, k_size[0]),
                 bias_w.reshape(B, h, Nq, k_size[1]),
                 (int(k_size[0]), int(k_size[1])),
+                chunks,
             )
         else:
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,

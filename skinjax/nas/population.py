@@ -154,10 +154,30 @@ class PopulationTrainer:
         mesh=None,
         mesh_axis: str = "data",
         pad_width: Optional[int] = None,
+        fixed_envelope: Optional[Dict] = None,
     ):
         self.train_source = train_source
         self.val_source = val_source
         self.num_classes = num_classes
+        # fixed_envelope: a SEARCH-SPACE dict (e.g. DEFAULT_SEARCH_SPACE).
+        # When set, every bucket trains inside ONE space-wide envelope per
+        # use_pooling flag (num_blocks / kernel_size / widths are all
+        # maskable — only pooling changes spatial shapes), and the jitted
+        # population step/eval programs are cached on the trainer and
+        # REUSED across buckets and controller rounds. This is the §5e-r4
+        # follow-up (a): the cold-cache search was compile-bound because
+        # each bucket's (envelope, width) pair was a fresh ~9-15 min remote
+        # compile; with a fixed envelope the search compiles at most
+        # 2 envelopes x the (deterministic) chunk widths, amortized
+        # search-wide. The cost: every candidate pays the max candidate's
+        # step compute/HBM (the hbm_width_cap chunking keeps it feasible).
+        self.fixed_envelope = fixed_envelope
+        if fixed_envelope is not None:
+            bucket_keys = ("use_pooling",)
+        # (env, K) -> (model, tx, pop_step, pop_eval): jitted programs with
+        # masks/cfg_keys as ARGUMENTS (not closure constants), so one
+        # compiled executable serves every bucket of the same envelope+width
+        self._programs: Dict[Tuple, Tuple] = {}
         # pad_width: pad every bucket to this vmap width by repeating its
         # last config. Without it, each distinct (envelope, bucket-size)
         # pair is a FRESH XLA program: as memoization shrinks the fresh-
@@ -197,6 +217,89 @@ class PopulationTrainer:
         return (
             jnp.bfloat16 if self.cfg.image_dtype == "bfloat16" else jnp.float32
         )
+
+    def _space_envelope(self, use_pooling: bool) -> "Envelope":
+        """Space-wide fixed envelope for one pooling flag."""
+        from skinjax.nas.supernet import Envelope
+
+        space = self.fixed_envelope
+        mk = lambda k: max(int(v) for v in space[k])
+        return Envelope(
+            num_blocks=mk("num_blocks"),
+            initial_filters=mk("initial_filters"),
+            kernel_size=mk("kernel_size"),
+            layers_per_block=mk("layers_per_block"),
+            use_pooling=bool(use_pooling),
+            text_width=mk("neurons_per_layer_size_of_text_fc"),
+            text_layers=mk("num_layers_text_fc"),
+            common_dim=mk("common_dim"),
+            fc_width=mk("neurons_per_layer_size_of_fc_module"),
+            fc_layers=mk("num_layers_fc_module"),
+            mechanisms=tuple(sorted(space["attention_mecanism"])),
+        )
+
+    def _programs_for(self, env, K: int):
+        """Jitted population step/eval for (envelope, width), cached so the
+        compile amortizes across buckets and controller rounds. masks and
+        cfg_keys are call ARGUMENTS — same executable, any candidate set."""
+        key = (env, K)
+        if key in self._programs:
+            return self._programs[key]
+        cfg = self.cfg
+        model = SuperNet(
+            env, num_classes=self.num_classes, vocab_size=self.vocab_size
+        )
+        tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
+        wloss = weighted_loss(cfg.loss, cfg.focal_gamma)
+        cw = jnp.asarray(self.class_weights)
+        dtype = self._dtype()
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def pop_step(state, masks, cfg_keys, image_u8, metadata, label, rng):
+            aug_rng, drop_rng = jax.random.split(
+                jax.random.fold_in(rng, state.step)
+            )
+            image = augment_batch(
+                image_u8, aug_rng, train=cfg.augment, out_dtype=dtype,
+                recipe=cfg.augment_recipe,
+            )
+
+            def one(params, opt_state, m, key):
+                def loss_of(p):
+                    logits = model.apply(
+                        {"params": p}, image, metadata, m, train=True,
+                        rngs={"dropout": key},
+                    )
+                    return wloss(logits.astype(jnp.float32), label, cw)
+
+                loss, grads = jax.value_and_grad(loss_of)(params)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), new_opt, loss
+
+            keys = jax.vmap(lambda h: jax.random.fold_in(drop_rng, h))(
+                cfg_keys
+            )
+            new_params, new_opt, losses = jax.vmap(one)(
+                state.params, state.opt_state, masks, keys
+            )
+            return (
+                PopulationState(new_params, new_opt, state.step + 1),
+                losses,
+            )
+
+        @jax.jit
+        def pop_eval(params, masks, image_u8, metadata):
+            image = augment_batch(
+                image_u8, jax.random.key(0), train=False, out_dtype=dtype
+            )
+            return jax.vmap(
+                lambda p, m: model.apply(
+                    {"params": p}, image, metadata, m
+                ).astype(jnp.float32)
+            )(params, masks)
+
+        self._programs[key] = (model, tx, pop_step, pop_eval)
+        return self._programs[key]
 
     def _init_params(self, model, masks_list, configs, sample):
         img1 = jnp.asarray(sample["image"][:1], jnp.float32)
@@ -241,7 +344,11 @@ class PopulationTrainer:
     def _train_bucket(self, configs: List[Dict]) -> List[float]:
         cfg = self.cfg
         n_real = len(configs)
-        env = envelope_of(configs)
+        env = (
+            self._space_envelope(configs[0].get("use_pooling", True))
+            if self.fixed_envelope is not None
+            else envelope_of(configs)
+        )
         # HBM-aware width: a wide envelope (e.g. no-pooling × max filters)
         # can need more activation HBM than the chip has — vmapping it at
         # full width would waste a doomed multi-minute remote compile and
@@ -264,20 +371,17 @@ class PopulationTrainer:
             configs = list(configs) + [configs[-1]] * (
                 pad_target - n_real
             )
-        model = SuperNet(
-            env, num_classes=self.num_classes, vocab_size=self.vocab_size
-        )
+        K = len(configs)
+        model, tx, pop_step, pop_eval = self._programs_for(env, K)
         masks_list = [candidate_masks(c, env) for c in configs]
         masks = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *masks_list
         )
-        K = len(configs)
 
         sample = self.train_source.batch(
             np.arange(min(2, len(self.train_source)))
         )
         params = self._init_params(model, masks_list, configs, sample)
-        tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
         state = PopulationState(
             params=params,
             opt_state=jax.vmap(tx.init)(params),
@@ -301,59 +405,12 @@ class PopulationTrainer:
             state = jax.tree_util.tree_map(put, state)
             masks = jax.tree_util.tree_map(put, masks)
 
-        wloss = weighted_loss(cfg.loss, cfg.focal_gamma)
-        cw = jnp.asarray(self.class_weights)
-        dtype = self._dtype()
         # dropout keys derived from the CONFIG (like init keys above), not
         # the candidate's position in the bucket — re-sampled configs draw
         # the same dropout stream at equal envelopes (bucket-POSITION
-        # independent; envelope width still shapes the draws, see
-        # make_population_evaluator)
+        # independent; under fixed_envelope the envelope is constant
+        # search-wide, so the draws are fully config-deterministic)
         cfg_keys = jnp.asarray([_config_key(c) for c in configs], jnp.uint32)
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def pop_step(state, image_u8, metadata, label, rng):
-            aug_rng, drop_rng = jax.random.split(
-                jax.random.fold_in(rng, state.step)
-            )
-            image = augment_batch(
-                image_u8, aug_rng, train=cfg.augment, out_dtype=dtype,
-                recipe=cfg.augment_recipe,
-            )
-
-            def one(params, opt_state, m, key):
-                def loss_of(p):
-                    logits = model.apply(
-                        {"params": p}, image, metadata, m, train=True,
-                        rngs={"dropout": key},
-                    )
-                    return wloss(logits.astype(jnp.float32), label, cw)
-
-                loss, grads = jax.value_and_grad(loss_of)(params)
-                updates, new_opt = tx.update(grads, opt_state, params)
-                return optax.apply_updates(params, updates), new_opt, loss
-
-            keys = jax.vmap(lambda h: jax.random.fold_in(drop_rng, h))(
-                cfg_keys
-            )
-            new_params, new_opt, losses = jax.vmap(one)(
-                state.params, state.opt_state, masks, keys
-            )
-            return (
-                PopulationState(new_params, new_opt, state.step + 1),
-                losses,
-            )
-
-        @jax.jit
-        def pop_eval(params, image_u8, metadata):
-            image = augment_batch(
-                image_u8, jax.random.key(0), train=False, out_dtype=dtype
-            )
-            return jax.vmap(
-                lambda p, m: model.apply(
-                    {"params": p}, image, metadata, m
-                ).astype(jnp.float32)
-            )(params, masks)
 
         rng = jax.random.fold_in(jax.random.key(cfg.seed), 1)
         best = np.full(K, -np.inf)
@@ -367,6 +424,8 @@ class PopulationTrainer:
             for batch in prefetch_batches(self.train_source, batches):
                 state, _ = pop_step(
                     state,
+                    masks,
+                    cfg_keys,
                     jnp.asarray(batch["image"]),
                     jnp.asarray(batch["metadata"]),
                     jnp.asarray(batch["label"]),
@@ -382,6 +441,7 @@ class PopulationTrainer:
                 vb = self.val_source.batch(idx)
                 logits = pop_eval(
                     state.params,
+                    masks,
                     jnp.asarray(vb["image"]),
                     jnp.asarray(vb["metadata"]),
                 )
@@ -405,7 +465,20 @@ class PopulationTrainer:
                 since_improve >= cfg.early_stopping_patience
             ).all():
                 break
-        return [float(b) for b in best[:n_real]]
+        rewards = [float(b) for b in best[:n_real]]
+        # §5e-r4 follow-up (b): free this bucket's device state EXPLICITLY
+        # before the next envelope program runs — the 32² economics run hit
+        # RESOURCE_EXHAUSTED from HBM pressure accumulating across
+        # successive bucket programs; waiting for Python GC is not enough
+        # on a chip that is about to compile the next multi-GB envelope.
+        for leaf in jax.tree_util.tree_leaves((state, masks)):
+            if isinstance(leaf, jax.Array):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+        del state, masks
+        return rewards
 
     def evaluate(self, configs: Sequence[Dict]) -> List[Optional[float]]:
         """Rewards per config, in order. A config that fails to train gets
@@ -423,6 +496,17 @@ class PopulationTrainer:
             except Exception as e:
                 print(f"[nas] population bucket failed "
                       f"({type(e).__name__}: {e})")
+                # drop cached executables before retrying: the §5e-r4 32²
+                # run's single-candidate isolation retrains ALSO hit
+                # RESOURCE_EXHAUSTED — stale programs/donated buffers from
+                # the failed bucket keep HBM reserved. Retrace cost is
+                # bounded by the persistent compilation cache.
+                if os.environ.get("SKINJAX_POP_CLEAR_ON_FAIL", "1") != "0":
+                    self._programs.clear()
+                    jax.clear_caches()
+                    import gc
+
+                    gc.collect()
                 if len(group) == 1:
                     group_rewards = [None]
                 else:
@@ -456,6 +540,7 @@ def make_population_evaluator(
     bucket_keys: Sequence[str] = DEFAULT_BUCKET_KEYS,
     mesh=None,
     pad_width: Optional[int] = None,
+    fixed_envelope: Optional[Dict] = None,
 ) -> Callable[[Sequence[Dict]], List[Optional[float]]]:
     """80/20 split (as nas/optimization_train_process_pad_20.py:232-237) +
     a PopulationTrainer over it; returns ``configs -> rewards``."""
@@ -475,5 +560,6 @@ def make_population_evaluator(
         vocab_size=int(source.features.shape[1]),
         mesh=mesh,
         pad_width=pad_width,
+        fixed_envelope=fixed_envelope,
     )
     return trainer.evaluate

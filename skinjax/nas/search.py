@@ -67,6 +67,7 @@ def run_nas(
     seed: int = 42,
     population_size: int = 0,
     memoize: bool = True,
+    fixed_envelope: bool = False,
 ) -> Tuple[Dict, float, List[Dict]]:
     """Returns (best_config, best_reward, step_log); writes best_config.json.
 
@@ -99,10 +100,16 @@ def run_nas(
 
         # pad buckets to the full population width: each envelope compiles
         # ONE program regardless of how memoization/bucketing shrinks the
-        # fresh-candidate count (population.py pad_width rationale)
+        # fresh-candidate count (population.py pad_width rationale).
+        # fixed_envelope=True additionally trains EVERY bucket inside one
+        # space-wide envelope per pooling flag with the compiled programs
+        # cached and reused across buckets/rounds (§5e-r4 follow-up (a)) —
+        # the cold-compile count drops from O(buckets) to <= 2 x chunk
+        # widths for the whole search.
         evaluate_population = make_population_evaluator(
             source, num_classes, train_cfg=train_cfg, seed=seed,
             pad_width=population_size,
+            fixed_envelope=space if fixed_envelope else None,
         )
     if evaluate_candidate is None and evaluate_population is None:
         evaluate_candidate = _default_trainer(source, num_classes, train_cfg, seed)

@@ -241,6 +241,47 @@ def _bwd_core(q, k, v, do, p, *, k_size):
     return (rs(dq, Nq), rs(dk, Nk), rs(dv, Nk), rs(dbh, Nq), rs(dbw, Nq))
 
 
+def query_chunks(Nq: int, max_rows: int = 1024):
+    """Smallest chunk count C dividing Nq with Nq/C <= max_rows, or None.
+
+    Pooled attention is EXACTLY separable along the query axis (the softmax
+    normalizes over keys only, and bias_h/bias_w are per-query-row), so a
+    large-Nq block can fold query chunks into the grid axis with no kernel
+    change — the §5l stage-0 3136x196 block becomes 4 grid cells of the
+    784x196 shape the stage-1 transition already compiles."""
+    if Nq <= max_rows:
+        return 1
+    # c capped at 32: beyond that the per-cell work is too small to feed
+    # the MXU and the k/v broadcast duplication dominates — fall back to
+    # XLA instead of a degenerate grid (e.g. a prime Nq would otherwise
+    # "chunk" into Nq rows of 1)
+    for c in range(2, 33):
+        if Nq % c == 0 and Nq // c <= max_rows:
+            return c
+    return None
+
+
+def pooled_attention_chunked(q, k, v, bias_h, bias_w, k_size, chunks: int):
+    """pooled_attention with the query axis split into ``chunks`` grid
+    cells (folded into the head axis; k/v broadcast per chunk). Exact —
+    same math, smaller per-cell VMEM blocks."""
+    if chunks == 1:
+        return pooled_attention(q, k, v, bias_h, bias_w, k_size)
+    B, h, Nq, hd = q.shape
+    Nk = k.shape[2]
+    C = chunks
+    assert Nq % C == 0, (Nq, C)
+    fold_q = lambda t: t.reshape(B, h, C, Nq // C, t.shape[-1]).reshape(
+        B, h * C, Nq // C, t.shape[-1])
+    rep_kv = lambda t: jnp.broadcast_to(
+        t[:, :, None], (B, h, C, Nk, t.shape[-1])).reshape(
+        B, h * C, Nk, t.shape[-1])
+    out = pooled_attention(
+        fold_q(q), rep_kv(k), rep_kv(v), fold_q(bias_h), fold_q(bias_w),
+        k_size)
+    return out.reshape(B, h, C, Nq // C, hd).reshape(B, h, Nq, hd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def pooled_attention(q, k, v, bias_h, bias_w, k_size):
     """Fused MViT pooled attention. q: (B, h, Nq, hd); k/v: (B, h, Nk, hd);

@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--no-memoize", action="store_true",
                    help="retrain repeated configs (reference behavior) "
                         "instead of reusing their deterministic reward")
+    p.add_argument("--fixed-envelope", action="store_true",
+                   help="train every population bucket inside one "
+                        "space-wide supernet envelope per pooling flag, "
+                        "programs cached across the search (compile "
+                        "amortization — DESIGN 5e-r4 follow-up)")
     p.add_argument("--retrain-best", action="store_true",
                    help="full k-fold retrain of best_config.json afterwards")
     args = p.parse_args(argv)
@@ -84,6 +89,7 @@ def main(argv=None):
             train_cfg=train_cfg, results_dir=args.results_dir,
             llm_model_name=args.llm_model, tracker=tracker,
             population_size=args.population, memoize=not args.no_memoize,
+            fixed_envelope=args.fixed_envelope,
         )
     print(json.dumps({"best_config": best_cfg, "best_reward": best_reward},
                      default=str))

@@ -64,6 +64,37 @@ def test_gradient_parity(B, h, q_size, k_size, hd):
                                    atol=5e-4, rtol=5e-4, err_msg=n)
 
 
+def test_chunked_query_parity():
+    """Query-chunk folding (the §5l stage-0 workaround) is exact: fwd and
+    grads match the reference with the query axis split into grid cells."""
+    from skinjax.ops.pallas.pooled_attention import (
+        pooled_attention_chunked, query_chunks)
+
+    assert query_chunks(3136) == 4      # mvitv2 stage-0: 4 x 784
+    assert query_chunks(784) == 1       # already under the row cap
+    assert query_chunks(1031) is None   # prime > cap: not chunkable
+
+    B, h, q_size, k_size, hd = 2, 2, (8, 8), (4, 4), 32
+    q, k, v, bh, bw = _inputs(B, h, q_size, k_size, hd, seed=2)
+    got = pooled_attention_chunked(q, k, v, bh, bw, k_size, 4)
+    want = pooled_attention_reference(q, k, v, bh, bw, k_size)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(fn, *a):
+        return jnp.sum(jnp.sin(fn(*a).astype(jnp.float32)))
+
+    gk = jax.grad(lambda *a: loss(
+        lambda *b: pooled_attention_chunked(*b, k_size, 4), *a),
+        argnums=(0, 1, 2, 3, 4))(q, k, v, bh, bw)
+    gr = jax.grad(lambda *a: loss(
+        lambda *b: pooled_attention_reference(*b, k_size), *a),
+        argnums=(0, 1, 2, 3, 4))(q, k, v, bh, bw)
+    for n, a, b in zip(["dq", "dk", "dv", "dbh", "dbw"], gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
+
+
 def test_pooled_attn_capacity_gate():
     """ADVICE r4 (low): the fuse gate must cap the EQUAL-length case too —
     an Nq=Nk>=2048 block would put a multi-ten-MB f32 P plane in one VMEM

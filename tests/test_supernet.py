@@ -203,6 +203,49 @@ def test_population_pad_width_rewards_identical():
     np.testing.assert_allclose(r_plain, r_padded, atol=1e-6)
 
 
+def test_population_fixed_envelope_program_reuse():
+    """§5e-r4 follow-up (a): with ``fixed_envelope`` (a search-space dict),
+    heterogeneous candidates — previously 3 shape-buckets, each a fresh XLA
+    program — all train inside ONE cached space-wide program, and a config
+    re-evaluated later in a different grouping draws the identical reward
+    (the memoization premise, now strict because the envelope never
+    changes)."""
+    space = {
+        "num_blocks": [1, 2, 3], "initial_filters": [8, 16, 32],
+        "kernel_size": [3, 5], "layers_per_block": [1, 2],
+        "use_pooling": [True], "common_dim": [16, 32, 64],
+        "attention_mecanism": ["concatenation", "crossattention",
+                               "metablock", "gfcam"],
+        "num_layers_text_fc": [1, 2, 3],
+        "neurons_per_layer_size_of_text_fc": [16, 32, 64],
+        "num_layers_fc_module": [1, 2],
+        "neurons_per_layer_size_of_fc_module": [32, 64],
+    }
+    src = synthetic_source(n=48, image_size=(16, 16), feature_dim=VOCAB,
+                           num_classes=CLASSES, seed=7)
+    idx = np.arange(len(src))
+    trainer = PopulationTrainer(
+        SubsetSource(src, idx[:36]), SubsetSource(src, idx[36:]),
+        num_classes=CLASSES,
+        config=TrainConfig(num_epochs=2, batch_size=12,
+                           early_stopping_patience=2,
+                           early_stopping_metric="val_bacc",
+                           image_dtype="float32"),
+        vocab_size=VOCAB, exact_init=True, pad_width=4,
+        fixed_envelope=space,
+    )
+    r1 = trainer.evaluate(CANDIDATES)
+    assert len(r1) == len(CANDIDATES)
+    assert all(r is not None and 0.0 <= r <= 1.0 for r in r1)
+    # one (envelope, width) program serves ALL former shape-buckets
+    assert len(trainer._programs) == 1, list(trainer._programs)
+    # re-evaluating two of the configs in a different grouping reuses the
+    # cached program and reproduces the rewards exactly
+    r2 = trainer.evaluate([CANDIDATES[2], CANDIDATES[0]])
+    assert len(trainer._programs) == 1
+    np.testing.assert_allclose(r2, [r1[2], r1[0]], atol=1e-6)
+
+
 def test_run_nas_population_and_memoization():
     src = synthetic_source(n=40, image_size=(16, 16), feature_dim=VOCAB,
                            num_classes=CLASSES, seed=4)
