@@ -98,16 +98,17 @@ class MViTAttention(nn.Module):
         Nq = q_size[0] * q_size[1]
         Nk = k_size[0] * k_size[1]
         # SKINJAX_POOLED_ATTN scopes which blocks fuse:
-        # - "auto" (default): every block EXCEPT the large cross-shaped
-        #   stage-0 transition (Nq=3136 != Nk) — including that one kernel
-        #   in the full-model program deterministically crashes the remote
-        #   TPU compile helper at B>=32 (no Mosaic diagnostic; the shape
-        #   compiles fine alone — bisected in DESIGN §5l),
-        # - "chunked": auto + the stage-0 block fused through QUERY-CHUNK
+        # - "chunked" (default): every block fused, 16/16 — large
+        #   cross-shaped blocks (stage-0's 3136x196) go through QUERY-CHUNK
         #   folding (pooled_attention_chunked: Nq split into grid cells of
-        #   <=1024 rows — the 3136x196 block becomes 4 cells of the
-        #   784-row shape stage 1 already compiles; exact, softmax is
-        #   per-row),
+        #   <=1024 rows; exact, softmax is per-row). Measured same-run
+        #   (bench/ab_mvit_chunked.py, DESIGN §5l-b): 540.7-541.7 img/s vs
+        #   auto's 507.7 (+6.5%), and the §5l single-cell helper crash
+        #   does NOT reproduce with the folded grid.
+        # - "auto": every block EXCEPT the stage-0 transition — including
+        #   that one kernel SINGLE-CELL in the full-model program
+        #   deterministically crashes the remote TPU compile helper at
+        #   B>=32 (no Mosaic diagnostic; bisected in DESIGN §5l),
         # - "equal": equal-length body blocks only,
         # - "all": everything single-cell (the §5l helper-crash repro),
         # - "": disabled.
@@ -115,7 +116,7 @@ class MViTAttention(nn.Module):
 
         from skinjax.ops.pallas.pooled_attention import (
             pooled_attn_ok, query_chunks)
-        scope = _os.environ.get("SKINJAX_POOLED_ATTN", "auto")
+        scope = _os.environ.get("SKINJAX_POOLED_ATTN", "chunked")
         # capacity gate (ADVICE r4, low): the equal-length case is capped
         # too — per-cell f32 P block must fit VMEM and the stored-P
         # residual must stay under the per-layer ceiling, else fall back
