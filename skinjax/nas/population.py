@@ -160,20 +160,22 @@ class PopulationTrainer:
         self.val_source = val_source
         self.num_classes = num_classes
         # fixed_envelope: a SEARCH-SPACE dict (e.g. DEFAULT_SEARCH_SPACE).
-        # When set, every bucket trains inside ONE space-wide envelope per
-        # use_pooling flag (num_blocks / kernel_size / widths are all
-        # maskable — only pooling changes spatial shapes), and the jitted
-        # population step/eval programs are cached on the trainer and
-        # REUSED across buckets and controller rounds. This is the §5e-r4
-        # follow-up (a): the cold-cache search was compile-bound because
-        # each bucket's (envelope, width) pair was a fresh ~9-15 min remote
-        # compile; with a fixed envelope the search compiles at most
-        # 2 envelopes x the (deterministic) chunk widths, amortized
-        # search-wide. The cost: every candidate pays the max candidate's
-        # step compute/HBM (the hbm_width_cap chunking keeps it feasible).
+        # When set, each bucket's envelope pins every WIDTH-like dim
+        # (filters, layers_per_block, text/fc widths+layers, common_dim,
+        # mechanism set) to the SPACE maxima while keeping the bucket's
+        # structural dims (use_pooling, num_blocks, kernel_size). Program
+        # identity then depends only on (pooling, num_blocks, kernel_size,
+        # vmap width) — at most |pool|x|nb|x|ks| programs for the whole
+        # search, reusable across buckets AND controller rounds via the
+        # program cache below. This is the §5e-r4 follow-up (a): without
+        # it, the envelope's width dims follow each bucket's sampled
+        # CONTENTS, so the same (pool,nb,ks) bucket recompiles (~9-15 min
+        # remote) whenever its max widths change between rounds.
+        # (A single space-wide envelope — maxing num_blocks/kernel too —
+        # was tried first and CRASHES the remote compile helper: the
+        # 10-block x 512-filter x K=8 program is too large. Measured
+        # r5; bucket-structural dims stay per-bucket for that reason.)
         self.fixed_envelope = fixed_envelope
-        if fixed_envelope is not None:
-            bucket_keys = ("use_pooling",)
         # (env, K) -> (model, tx, pop_step, pop_eval): jitted programs with
         # masks/cfg_keys as ARGUMENTS (not closure constants), so one
         # compiled executable serves every bucket of the same envelope+width
@@ -218,18 +220,22 @@ class PopulationTrainer:
             jnp.bfloat16 if self.cfg.image_dtype == "bfloat16" else jnp.float32
         )
 
-    def _space_envelope(self, use_pooling: bool) -> "Envelope":
-        """Space-wide fixed envelope for one pooling flag."""
+    def _space_envelope(self, configs: Sequence[Dict]) -> "Envelope":
+        """Fixed-width envelope: structural dims from the bucket (which is
+        keyed on them), width dims from the SPACE maxima — so envelope
+        identity is a function of the bucket key alone, never of which
+        configs happened to be sampled into it."""
         from skinjax.nas.supernet import Envelope
 
         space = self.fixed_envelope
         mk = lambda k: max(int(v) for v in space[k])
+        mxc = lambda k: max(int(c[k]) for c in configs)
         return Envelope(
-            num_blocks=mk("num_blocks"),
+            num_blocks=mxc("num_blocks"),
             initial_filters=mk("initial_filters"),
-            kernel_size=mk("kernel_size"),
+            kernel_size=mxc("kernel_size"),
             layers_per_block=mk("layers_per_block"),
-            use_pooling=bool(use_pooling),
+            use_pooling=bool(configs[0].get("use_pooling", True)),
             text_width=mk("neurons_per_layer_size_of_text_fc"),
             text_layers=mk("num_layers_text_fc"),
             common_dim=mk("common_dim"),
@@ -345,7 +351,7 @@ class PopulationTrainer:
         cfg = self.cfg
         n_real = len(configs)
         env = (
-            self._space_envelope(configs[0].get("use_pooling", True))
+            self._space_envelope(configs)
             if self.fixed_envelope is not None
             else envelope_of(configs)
         )

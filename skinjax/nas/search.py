@@ -101,11 +101,11 @@ def run_nas(
         # pad buckets to the full population width: each envelope compiles
         # ONE program regardless of how memoization/bucketing shrinks the
         # fresh-candidate count (population.py pad_width rationale).
-        # fixed_envelope=True additionally trains EVERY bucket inside one
-        # space-wide envelope per pooling flag with the compiled programs
-        # cached and reused across buckets/rounds (§5e-r4 follow-up (a)) —
-        # the cold-compile count drops from O(buckets) to <= 2 x chunk
-        # widths for the whole search.
+        # fixed_envelope=True additionally pins each bucket's envelope
+        # width dims to the SPACE maxima and caches the compiled programs
+        # across buckets/rounds (§5e-r4 follow-up (a)) — the cold-compile
+        # count is then bounded by |pooling|x|num_blocks|x|kernel_size|
+        # for the whole search instead of churning with bucket contents.
         evaluate_population = make_population_evaluator(
             source, num_classes, train_cfg=train_cfg, seed=seed,
             pad_width=population_size,

@@ -205,11 +205,12 @@ def test_population_pad_width_rewards_identical():
 
 def test_population_fixed_envelope_program_reuse():
     """§5e-r4 follow-up (a): with ``fixed_envelope`` (a search-space dict),
-    heterogeneous candidates — previously 3 shape-buckets, each a fresh XLA
-    program — all train inside ONE cached space-wide program, and a config
-    re-evaluated later in a different grouping draws the identical reward
-    (the memoization premise, now strict because the envelope never
-    changes)."""
+    a bucket's envelope pins all width dims to the SPACE maxima, so program
+    identity follows the bucket KEY alone — a config re-evaluated later in
+    a different grouping reuses the cached program and draws the identical
+    reward (the memoization premise, now strict: without the fix the
+    envelope's widths track each bucket's sampled contents and the same
+    bucket recompiles whenever its max widths change)."""
     space = {
         "num_blocks": [1, 2, 3], "initial_filters": [8, 16, 32],
         "kernel_size": [3, 5], "layers_per_block": [1, 2],
@@ -237,12 +238,13 @@ def test_population_fixed_envelope_program_reuse():
     r1 = trainer.evaluate(CANDIDATES)
     assert len(r1) == len(CANDIDATES)
     assert all(r is not None and 0.0 <= r <= 1.0 for r in r1)
-    # one (envelope, width) program serves ALL former shape-buckets
-    assert len(trainer._programs) == 1, list(trainer._programs)
+    # CANDIDATES span 3 bucket keys: (nb=2,ks=3), (nb=3,ks=5), (nb=1,ks=3)
+    # -> exactly 3 cached programs, width-padded to 4 each
+    assert len(trainer._programs) == 3, list(trainer._programs)
     # re-evaluating two of the configs in a different grouping reuses the
-    # cached program and reproduces the rewards exactly
+    # cached programs (no new compiles) and reproduces rewards exactly
     r2 = trainer.evaluate([CANDIDATES[2], CANDIDATES[0]])
-    assert len(trainer._programs) == 1
+    assert len(trainer._programs) == 3
     np.testing.assert_allclose(r2, [r1[2], r1[0]], atol=1e-6)
 
 
