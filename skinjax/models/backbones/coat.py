@@ -22,12 +22,45 @@ depthwise convs are grouped convs over an NHWC map (no gathers).
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen import dtypes as _dtypes
+
+
+class _DenseParams(nn.Module):
+    """Owns a Dense-shaped (kernel, bias) pair WITHOUT running the matmul —
+    same param tree, names, and initializers as ``nn.Dense`` so checkpoints
+    and the timm importer (torch_import.import_coat) are layout-identical,
+    while the caller is free to route the compute through the fused MLP
+    kernel (ops/pallas/fused_mlp.py) or the XLA chain."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+def coat_mlp_mode() -> str:
+    """SKINJAX_COAT_MLP resolution: '' = XLA two-Dense chain (default),
+    'fused' = Pallas fused fc1->GELU->fc2 on blocks whose bf16 hidden
+    intermediate is >=48 MB (the stage-1/2 HBM-roofline chains DESIGN §5o
+    measured), 'all' = every serial block. Export tracing always ''."""
+    if _os.environ.get("SKINJAX_EXPORT_COMPAT", "") == "1":
+        return ""
+    return _os.environ.get("SKINJAX_COAT_MLP", "")
+
+
+_FUSED_MLP_MIN_BYTES = 48 * 1024 * 1024
 
 
 class ConvPosEnc(nn.Module):
@@ -164,10 +197,33 @@ class CoaTLite(nn.Module):
                 x = x + y
                 y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                  name=f"{blk}_norm2")(x)
-                y = nn.Dense(int(dim * ratio), dtype=self.dtype,
-                             name=f"{blk}_fc1")(y)
-                y = nn.gelu(y, approximate=False)
-                y = nn.Dense(dim, dtype=self.dtype, name=f"{blk}_fc2")(y)
+                hid = int(dim * ratio)
+                w1, b1 = _DenseParams(dim, hid, name=f"{blk}_fc1")()
+                w2, b2 = _DenseParams(hid, dim, name=f"{blk}_fc2")()
+                mode = coat_mlp_mode()
+                inter_bytes = B * N * hid * y.dtype.itemsize
+                fuse_mlp = (not self.is_initializing()
+                            and (mode == "all"
+                                 or (mode == "fused"
+                                     and inter_bytes >= _FUSED_MLP_MIN_BYTES)))
+                if fuse_mlp:
+                    # fused fc1->exact-GELU->fc2: the (N, hid) hidden plane
+                    # stays in VMEM per token tile; the backward recomputes
+                    # it from y instead of saving the (bf16, bf16)
+                    # pre/post-activation pair DESIGN §5o measured at the
+                    # HBM roofline (~0.8 GB/instance at stage 1)
+                    from skinjax.ops.pallas.fused_mlp import mlp_gelu
+                    yc, k1, a1, k2, a2 = _dtypes.promote_dtype(
+                        y, w1, b1, w2, b2, dtype=self.dtype)
+                    y = mlp_gelu(yc, k1, a1, k2, a2)
+                else:
+                    yc, k1, a1 = _dtypes.promote_dtype(
+                        y, w1, b1, dtype=self.dtype)
+                    y = jnp.dot(yc, k1) + a1
+                    y = nn.gelu(y, approximate=False)
+                    yc, k2, a2 = _dtypes.promote_dtype(
+                        y, w2, b2, dtype=self.dtype)
+                    y = jnp.dot(yc, k2) + a2
                 x = x + y
             if si < len(self.dims) - 1:
                 x = x[:, 1:].reshape(B, H, W, dim)  # drop cls for next stage
