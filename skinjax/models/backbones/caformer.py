@@ -111,6 +111,43 @@ class MetaFormerAttention(nn.Module):
         return out.reshape(B, H, W, C)
 
 
+class _KernelParam(nn.Module):
+    """Bias-free Dense-shaped kernel holder — same tree/init as
+    ``nn.Dense(use_bias=False)`` so checkpoints/importer stay layout-
+    identical while the caller routes compute through the fused MLP kernel
+    (ops/pallas/fused_mlp.py) or the XLA chain."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_dim, self.features))
+
+
+class _StarParams(nn.Module):
+    """StarReLU's learnable scalars under the same names as StarReLU."""
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (1,)),
+                self.param("bias", nn.initializers.zeros, (1,)))
+
+
+def caformer_mlp_mode() -> str:
+    """SKINJAX_CAFORMER_MLP: '' = XLA chain (default), 'fused' = Pallas
+    fused fc1->StarReLU->fc2 on blocks whose bf16 hidden intermediate is
+    >=48 MB, 'all' = every block. Export tracing always ''."""
+    import os as _os
+    if _os.environ.get("SKINJAX_EXPORT_COMPAT", "") == "1":
+        return ""
+    return _os.environ.get("SKINJAX_CAFORMER_MLP", "")
+
+
+_FUSED_MLP_MIN_BYTES = 48 * 1024 * 1024
+
+
 class MetaFormerMlp(nn.Module):
     dim: int
     ratio: float = 4.0
@@ -118,11 +155,34 @@ class MetaFormerMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(int(self.dim * self.ratio), use_bias=False,
-                     dtype=self.dtype, name="fc1")(x)
-        y = StarReLU(name="act")(y)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        name="fc2")(y)
+        from flax.linen import dtypes as _dtypes
+
+        hid = int(self.dim * self.ratio)
+        w1 = _KernelParam(self.dim, hid, name="fc1")()
+        s, b = _StarParams(name="act")()
+        w2 = _KernelParam(hid, self.dim, name="fc2")()
+        mode = caformer_mlp_mode()
+        tokens = 1
+        for d in x.shape[:-1]:
+            tokens *= d
+        inter_bytes = tokens * hid * x.dtype.itemsize
+        fuse = (not self.is_initializing()
+                and (mode == "all"
+                     or (mode == "fused"
+                         and inter_bytes >= _FUSED_MLP_MIN_BYTES)))
+        if fuse:
+            # fused fc1->StarReLU->fc2 (ops/pallas/fused_mlp.mlp_star): the
+            # (tokens, hid) hidden plane stays in VMEM per token tile; the
+            # backward recomputes it instead of saving it to HBM
+            from skinjax.ops.pallas.fused_mlp import mlp_star
+            xc, k1, k2 = _dtypes.promote_dtype(x, w1, w2, dtype=self.dtype)
+            return mlp_star(xc, k1, s, b, k2)
+        xc, k1 = _dtypes.promote_dtype(x, w1, dtype=self.dtype)
+        y = jnp.dot(xc, k1)
+        r = nn.relu(y)
+        y = s.astype(y.dtype) * r * r + b.astype(y.dtype)
+        yc, k2 = _dtypes.promote_dtype(y, w2, dtype=self.dtype)
+        return jnp.dot(yc, k2)
 
 
 class MetaFormerBlock(nn.Module):

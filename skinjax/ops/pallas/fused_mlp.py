@@ -39,14 +39,30 @@ _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+def _erf_f32(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7 — below every
+    parity tolerance in tests/test_fused_mlp.py and far below bf16
+    resolution). Mosaic TPU has NO erf lowering (measured: the lax.erf form
+    fails to compile with 'Unimplemented primitive ... erf'), so the kernel
+    builds it from exp/abs/sign, all supported."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _gelu_f32(pre):
-    """Exact (erf) GELU on an f32 tile."""
-    return pre * 0.5 * (1.0 + jax.lax.erf(pre * _INV_SQRT2))
+    """Exact-form (erf) GELU on an f32 tile."""
+    return pre * 0.5 * (1.0 + _erf_f32(pre * _INV_SQRT2))
 
 
 def _dgelu_f32(pre):
     """d/dx of exact GELU: Phi(x) + x * phi(x)."""
-    cdf = 0.5 * (1.0 + jax.lax.erf(pre * _INV_SQRT2))
+    cdf = 0.5 * (1.0 + _erf_f32(pre * _INV_SQRT2))
     pdf = jnp.exp(-0.5 * pre * pre) * _INV_SQRT_2PI
     return cdf + pre * pdf
 
@@ -196,6 +212,151 @@ def _mlp_bwd(res, dy):
 
 
 mlp_gelu.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# StarReLU variant for MetaFormer/CAFormer block MLPs: bias-free Denses,
+# activation s*relu(x)^2 + b with learnable SCALARS (timm metaformer
+# StarReLU; models/backbones/caformer.py MetaFormerMlp). Same VMEM-resident
+# hidden plane + recompute backward as mlp_gelu.
+# ---------------------------------------------------------------------------
+
+
+def _star_fwd_kernel(x_ref, w1_ref, s_ref, b_ref, w2_ref, y_ref):
+    x = x_ref[:]
+    pre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    r = jnp.maximum(pre, 0.0)
+    h = (s_ref[0, 0] * r * r + b_ref[0, 0]).astype(x.dtype)
+    y_ref[:] = jnp.dot(
+        h, w2_ref[:], preferred_element_type=jnp.float32).astype(y_ref.dtype)
+
+
+def _star_bwd_kernel(x_ref, dy_ref, w1_ref, s_ref, b_ref, w2_ref,
+                     dx_ref, dw1_ref, ds_ref, db_ref, dw2_ref):
+    x = x_ref[:]
+    dy = dy_ref[:]
+    pre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    r = jnp.maximum(pre, 0.0)
+    r2 = r * r
+    s = s_ref[0, 0]
+    h = (s * r2 + b_ref[0, 0]).astype(x.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+
+    dw2_ref[:] += jax.lax.dot_general(
+        h, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dh = jax.lax.dot_general(
+        dy, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds_ref[0, 0] += jnp.sum(dh * r2)
+    db_ref[0, 0] += jnp.sum(dh)
+    dpre = dh * (2.0 * s * r)  # d(s*r^2)/dpre = 2*s*r (0 where pre <= 0)
+    dpre_b = dpre.astype(x.dtype)
+    dw1_ref[:] += jax.lax.dot_general(
+        x, dpre_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[:] = jax.lax.dot_general(
+        dpre_b, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+
+
+def _star_fwd_core(x2d, w1, s, b, w2):
+    T, D = x2d.shape
+    H, D2 = w2.shape
+    tn = _token_tile(H)
+    xp, Tp = _prep(x2d, tn)
+    row = lambda t: pl.BlockSpec((tn, t.shape[1]), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        _star_fwd_kernel,
+        grid=(Tp // tn,),
+        in_specs=[row(xp), full(w1), full(s), full(b), full(w2)],
+        out_specs=pl.BlockSpec((tn, D2), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, D2), x2d.dtype),
+        interpret=_interpret(),
+    )(xp, w1, s, b, w2)
+    return y[:T]
+
+
+def _star_bwd_core(x2d, dy2d, w1, s, b, w2):
+    T, D = x2d.shape
+    H, D2 = w2.shape
+    tn = _token_tile(H)
+    xp, Tp = _prep(x2d, tn)
+    dyp, _ = _prep(dy2d, tn)
+    row = lambda width: pl.BlockSpec((tn, width), lambda g: (g, 0),
+                                     memory_space=pltpu.VMEM)
+    full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    acc = lambda shp: pl.BlockSpec(shp, lambda g: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    shapes = [
+        jax.ShapeDtypeStruct((Tp, D), x2d.dtype),     # dx
+        jax.ShapeDtypeStruct((D, H), jnp.float32),    # dw1
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),    # ds
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),    # db
+        jax.ShapeDtypeStruct((H, D2), jnp.float32),   # dw2
+    ]
+    dx, dw1, ds, db, dw2 = pl.pallas_call(
+        _star_bwd_kernel,
+        grid=(Tp // tn,),
+        in_specs=[row(D), row(D2), full(w1), full(s), full(b), full(w2)],
+        out_specs=[row(D)] + [acc(t.shape) for t in shapes[1:]],
+        out_shape=shapes,
+        interpret=_interpret(),
+    )(xp, dyp, w1, s, b, w2)
+    return dx[:T], dw1, ds, db, dw2
+
+
+@jax.custom_vjp
+def mlp_star(x, w1, s, b, w2):
+    """Fused bias-free ``x @ w1 -> s*relu^2+b -> @ w2`` (StarReLU MLP).
+
+    x: (..., D); w1: (D, H); s, b: scalar arrays of shape (1,); w2: (H, D2).
+    All args differentiable; the hidden plane never touches HBM and the
+    backward recomputes it from x.
+    """
+    lead = x.shape[:-1]
+    y = _star_fwd_core(x.reshape(-1, x.shape[-1]), w1,
+                       s.reshape(1, 1).astype(jnp.float32),
+                       b.reshape(1, 1).astype(jnp.float32), w2)
+    return y.reshape(*lead, w2.shape[1])
+
+
+def _star_vjp_fwd(x, w1, s, b, w2):
+    return mlp_star(x, w1, s, b, w2), (x, w1, s, b, w2)
+
+
+def _star_vjp_bwd(res, dy):
+    x, w1, s, b, w2 = res
+    lead = x.shape[:-1]
+    dx, dw1, ds, db, dw2 = _star_bwd_core(
+        x.reshape(-1, x.shape[-1]), dy.reshape(-1, dy.shape[-1]), w1,
+        s.reshape(1, 1).astype(jnp.float32),
+        b.reshape(1, 1).astype(jnp.float32), w2)
+    return (dx.reshape(*lead, x.shape[-1]), dw1.astype(w1.dtype),
+            ds.reshape(1).astype(s.dtype), db.reshape(1).astype(b.dtype),
+            dw2.astype(w2.dtype))
+
+
+mlp_star.defvjp(_star_vjp_fwd, _star_vjp_bwd)
+
+
+def mlp_star_reference(x, w1, s, b, w2):
+    """Pure-XLA oracle — identical math to Dense(bias-free) -> StarReLU ->
+    Dense(bias-free) (models/backbones/caformer.py MetaFormerMlp)."""
+    pre = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+    r = jnp.maximum(pre, 0.0)
+    h = (s.reshape(()) * r * r + b.reshape(())).astype(x.dtype)
+    return jnp.dot(h, w2, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def mlp_gelu_reference(x, w1, b1, w2, b2):

@@ -108,3 +108,65 @@ def test_coat_default_is_xla_and_fused_matches(monkeypatch):
     flat_f = jax.tree_util.tree_leaves(g_fused)
     for a, b in zip(flat_f, flat_x):
         np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 2e-4),
+                                        (jnp.bfloat16, 6e-2)])
+def test_star_grad_parity(dtype, atol):
+    from skinjax.ops.pallas.fused_mlp import mlp_star, mlp_star_reference
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (321, 64), dtype)
+    w1 = jax.random.normal(ks[1], (64, 256), dtype) * (64 ** -0.5)
+    w2 = jax.random.normal(ks[2], (256, 64), dtype) * (256 ** -0.5)
+    s = jnp.array([1.3], jnp.float32)
+    b = jnp.array([-0.2], jnp.float32)
+    args = (x, w1, s, b, w2)
+
+    got = mlp_star(*args)
+    want = mlp_star_reference(*args)
+    np.testing.assert_allclose(np.float32(got), np.float32(want),
+                               atol=atol, rtol=atol)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+
+    g_got = jax.grad(loss(mlp_star), argnums=(0, 1, 2, 3, 4))(*args)
+    g_want = jax.grad(loss(mlp_star_reference), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b_, name in zip(g_got, g_want, ["dx", "dw1", "ds", "db", "dw2"]):
+        assert a.shape == b_.shape and a.dtype == b_.dtype, name
+        scale = max(1.0, float(jnp.max(jnp.abs(b_.astype(jnp.float32)))))
+        np.testing.assert_allclose(
+            np.float32(a) / scale, np.float32(b_) / scale, atol=atol,
+            err_msg=name)
+
+
+def test_caformer_default_is_xla_and_fused_matches(monkeypatch):
+    """caformer routing default stays XLA (house rule); 'all' must match the
+    default path on a tiny CAFormer forward + grads, and the param tree must
+    keep the Dense/StarReLU layout the importer consumes."""
+    from skinjax.models.backbones.caformer import CAFormer, caformer_mlp_mode
+
+    monkeypatch.delenv("SKINJAX_CAFORMER_MLP", raising=False)
+    assert caformer_mlp_mode() == ""
+
+    model = CAFormer(dims=(16, 32), depths=(1, 1), mixers=("conv", "attention"),
+                     res_scale_stages=(False, True), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    mlp = params["params"]["stage0_block0"]["mlp"]
+    assert set(mlp.keys()) == {"fc1", "act", "fc2"}
+    assert set(mlp["act"].keys()) == {"scale", "bias"}
+    assert mlp["fc1"]["kernel"].shape == (16, 64)
+
+    def run(mode):
+        monkeypatch.setenv("SKINJAX_CAFORMER_MLP", mode)
+        loss = lambda p: jnp.sum(model.apply(p, x) ** 2)
+        return jax.value_and_grad(loss)(params)
+
+    v_xla, g_xla = run("")
+    v_fused, g_fused = run("all")
+    np.testing.assert_allclose(v_fused, v_xla, rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-3)
