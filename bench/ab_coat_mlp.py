@@ -51,3 +51,31 @@ measure("coat_B64_xla_2", 64, "")
 measure("coat_B64_fused_2", 64, "fused")
 
 print(json.dumps(out))
+
+
+def measure_caf(tag, B, env):
+    os.environ["SKINJAX_CAFORMER_MLP"] = env
+    os.environ["SKINJAX_COAT_MLP"] = ""
+    model = MultimodalModel(
+        num_classes=6, num_heads=8, cnn_model_name="caformer_b36",
+        text_model_name="one-hot-encoder", common_dim=512, vocab_size=91,
+        attention_mechanism="att-intramodal+residual+cross-attention-metadados",
+        dtype=jnp.bfloat16,
+    )
+    try:
+        ips, state = bench._train_throughput(model, B)
+        out[tag] = round(ips, 1)
+        del state
+    except Exception as e:
+        out[tag + "_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+    gc.collect()
+    print(json.dumps({tag: out.get(tag, out.get(tag + "_error"))}),
+          flush=True)
+
+
+if os.environ.get("AB_CAFORMER_MLP", "") == "1":
+    measure_caf("caformer_B32_xla", 32, "")
+    measure_caf("caformer_B32_fused", 32, "fused")
+    measure_caf("caformer_B32_xla_2", 32, "")
+    measure_caf("caformer_B32_fused_2", 32, "fused")
+    print(json.dumps(out))

@@ -240,6 +240,17 @@ class DaViTChannelAttentionFused(nn.Module):
         )
 
 
+def davit_mlp_mode() -> str:
+    """SKINJAX_DAVIT_MLP: '' = XLA two-Dense chain (default), 'fused' =
+    Pallas fused fc1->GELU->fc2 (ops/pallas/fused_mlp.mlp_gelu) on blocks
+    whose bf16 hidden intermediate is >=48 MB, 'all' = every block. Export
+    tracing always ''."""
+    import os as _os
+    if _os.environ.get("SKINJAX_EXPORT_COMPAT", "") == "1":
+        return ""
+    return _os.environ.get("SKINJAX_DAVIT_MLP", "")
+
+
 class DaViTMlp(nn.Module):
     dim: int
     ratio: float = 4.0
@@ -247,7 +258,26 @@ class DaViTMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(int(self.dim * self.ratio), dtype=self.dtype, name="fc1")(x)
+        mode = davit_mlp_mode()
+        hid = int(self.dim * self.ratio)
+        tokens = 1
+        for d in x.shape[:-1]:
+            tokens *= d
+        fuse = (not self.is_initializing()
+                and (mode == "all"
+                     or (mode == "fused"
+                         and tokens * hid * x.dtype.itemsize
+                         >= 48 * 1024 * 1024)))
+        if fuse:
+            from flax.linen import dtypes as _dtypes
+
+            from skinjax.ops.pallas.fused_mlp import mlp_gelu
+            w1, b1 = DenseParams(hid, name="fc1")(self.dim)
+            w2, b2 = DenseParams(self.dim, name="fc2")(hid)
+            xc, k1, a1, k2, a2 = _dtypes.promote_dtype(
+                x, w1, b1, w2, b2, dtype=self.dtype)
+            return mlp_gelu(xc, k1, a1, k2, a2)
+        y = nn.Dense(hid, dtype=self.dtype, name="fc1")(x)
         y = nn.gelu(y, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
 

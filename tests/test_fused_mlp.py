@@ -170,3 +170,30 @@ def test_caformer_default_is_xla_and_fused_matches(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(g_fused),
                     jax.tree_util.tree_leaves(g_xla)):
         np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-3)
+
+
+def test_davit_default_is_xla_and_fused_matches(monkeypatch):
+    """davit routing default stays XLA; 'all' routes block MLPs through
+    mlp_gelu and must match the default path (init always builds the
+    nn.Dense tree — the fused path binds DenseParams to the same names)."""
+    from skinjax.models.backbones.davit import DaViT, davit_mlp_mode
+
+    monkeypatch.delenv("SKINJAX_DAVIT_MLP", raising=False)
+    assert davit_mlp_mode() == ""
+
+    model = DaViT(dims=(32, 64), depths=(1, 1), heads=(2, 4),
+                  window=4, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    def run(mode):
+        monkeypatch.setenv("SKINJAX_DAVIT_MLP", mode)
+        loss = lambda p: jnp.sum(model.apply(p, x) ** 2)
+        return jax.value_and_grad(loss)(params)
+
+    v_xla, g_xla = run("")
+    v_fused, g_fused = run("all")
+    np.testing.assert_allclose(v_fused, v_xla, rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-3)
