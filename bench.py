@@ -270,6 +270,9 @@ def main():
     # plain no-remat capacity limit on one v5e — DESIGN §5h).
     _extra("mvitv2_small_images_per_sec", _mm("mvitv2_small", DAVIT_BATCH))
     _extra("caformer_b36_images_per_sec", _mm("caformer_b36", 32))
+    # coat_lite_small: fused token-MLP kernel default (DESIGN §5p,
+    # +7.7-8.1% same-run over the XLA chain)
+    _extra("coat_lite_small_images_per_sec", _mm("coat_lite_small", 64))
     _extra("beitv2_large_images_per_sec",
            _mm("beitv2_large_patch16_224", 32))
     _extra("swin_tiny_images_per_sec",

@@ -51,13 +51,17 @@ class _DenseParams(nn.Module):
 
 
 def coat_mlp_mode() -> str:
-    """SKINJAX_COAT_MLP resolution: '' = XLA two-Dense chain (default),
-    'fused' = Pallas fused fc1->GELU->fc2 on blocks whose bf16 hidden
-    intermediate is >=48 MB (the stage-1/2 HBM-roofline chains DESIGN §5o
-    measured), 'all' = every serial block. Export tracing always ''."""
+    """SKINJAX_COAT_MLP resolution: 'fused' (default) = Pallas fused
+    fc1->GELU->fc2 (ops/pallas/fused_mlp.py) on blocks whose bf16 hidden
+    intermediate is >=48 MB — the stage-1/2 HBM-roofline chains DESIGN §5o
+    profiled; measured same-run on the v5e (bench/ab_coat_mlp.py, DESIGN
+    §5p): 946.3/946.8 img/s fused vs 879.4/875.7 XLA at B=64 (+7.7-8.1%),
+    no compile-helper crash, both passes. '' = XLA two-Dense chain,
+    'all' = every serial block. Export tracing always '' (the native ONNX
+    emitter cannot express pallas_call)."""
     if _os.environ.get("SKINJAX_EXPORT_COMPAT", "") == "1":
         return ""
-    return _os.environ.get("SKINJAX_COAT_MLP", "")
+    return _os.environ.get("SKINJAX_COAT_MLP", "fused")
 
 
 _FUSED_MLP_MIN_BYTES = 48 * 1024 * 1024

@@ -226,7 +226,7 @@ def _star_fwd_kernel(x_ref, w1_ref, s_ref, b_ref, w2_ref, y_ref):
     x = x_ref[:]
     pre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     r = jnp.maximum(pre, 0.0)
-    h = (s_ref[0, 0] * r * r + b_ref[0, 0]).astype(x.dtype)
+    h = (s_ref[:] * r * r + b_ref[:]).astype(x.dtype)  # (1,1) broadcast
     y_ref[:] = jnp.dot(
         h, w2_ref[:], preferred_element_type=jnp.float32).astype(y_ref.dtype)
 
@@ -238,8 +238,8 @@ def _star_bwd_kernel(x_ref, dy_ref, w1_ref, s_ref, b_ref, w2_ref,
     pre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     r = jnp.maximum(pre, 0.0)
     r2 = r * r
-    s = s_ref[0, 0]
-    h = (s * r2 + b_ref[0, 0]).astype(x.dtype)
+    s = s_ref[:]  # (1,1), broadcasts — Mosaic dislikes scalar VMEM access
+    h = (s * r2 + b_ref[:]).astype(x.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -253,8 +253,10 @@ def _star_bwd_kernel(x_ref, dy_ref, w1_ref, s_ref, b_ref, w2_ref,
     dh = jax.lax.dot_general(
         dy, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds_ref[0, 0] += jnp.sum(dh * r2)
-    db_ref[0, 0] += jnp.sum(dh)
+    # (1,1) keepdims stores: Mosaic rejects scalar stores to VMEM (measured
+    # on-chip, 'ValueError: Cannot store scalars to VMEM' — DESIGN §5p)
+    ds_ref[:] += jnp.sum(dh * r2, axis=(0, 1), keepdims=True)
+    db_ref[:] += jnp.sum(dh, axis=(0, 1), keepdims=True)
     dpre = dh * (2.0 * s * r)  # d(s*r^2)/dpre = 2*s*r (0 where pre <= 0)
     dpre_b = dpre.astype(x.dtype)
     dw1_ref[:] += jax.lax.dot_general(

@@ -77,14 +77,16 @@ def test_padding_rows_do_not_leak_into_grads():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
 
 
-def test_coat_default_is_xla_and_fused_matches(monkeypatch):
-    """Routing default stays the XLA chain (house rule: flips require a
-    same-run A/B in DESIGN); 'all' routes through the kernel and must match
-    the default path on the full CoaT-lite forward + grads."""
+def test_coat_default_is_fused_and_paths_match(monkeypatch):
+    """Routing default is 'fused' — evidence-backed (bench/ab_coat_mlp.py,
+    DESIGN §5p: 946.3/946.8 fused vs 879.4/875.7 XLA img/s at B=64, both
+    passes); 'all' routes every block through the kernel and must match the
+    XLA path on the full CoaT-lite forward + grads. The 'fused' scope only
+    engages blocks with >=48 MB intermediates, so tiny models run XLA."""
     from skinjax.models.backbones.coat import CoaTLite, coat_mlp_mode
 
     monkeypatch.delenv("SKINJAX_COAT_MLP", raising=False)
-    assert coat_mlp_mode() == ""
+    assert coat_mlp_mode() == "fused"
     monkeypatch.setenv("SKINJAX_EXPORT_COMPAT", "1")
     monkeypatch.setenv("SKINJAX_COAT_MLP", "all")
     assert coat_mlp_mode() == ""  # export tracing can't lower pallas_call
